@@ -1,0 +1,11 @@
+"""Lakehouse table layer with Iceberg-style semantics.
+
+The sandbox has no Iceberg runtime jar, so the engine ships a thin,
+API-compatible table format: bucket-partitioned parquet data files +
+versioned schema + atomic snapshot manifests. A real Iceberg catalog is a
+drop-in replacement — the operations exposed here (create/append/
+overwrite/merge/schema-evolve/snapshot history) map 1:1 onto Iceberg
+``writeTo``/``MERGE INTO``/``ALTER TABLE ADD COLUMNS``.
+"""
+
+from etl_framework_spark.lakehouse.table import LakeTable, SchemaEvolutionError  # noqa: F401
