@@ -1,0 +1,102 @@
+"""Streaming CDC ingestion: binlog-directory tail -> LakeTable upserts.
+
+The reference emulates incremental ingest by re-running a batch pipeline
+against the same table (reference:demo/04_database_operations.py:183-318).
+Here it is a real stream: ``readStream`` over the append-only change-log
+directory, ``foreachBatch`` applying each micro-batch through
+``cdc.apply_changes`` (LWW dedupe + bucket-pruned merge).
+
+Exactly-once is a two-layer contract:
+
+1. **Structured Streaming checkpoint** (``checkpointLocation``) tracks
+   source offsets; on restart the stream resumes at the first
+   un-checkpointed batch (at-least-once delivery into foreachBatch).
+2. **Epoch markers in the table snapshot** (``cdc.apply_changes``):
+   a re-delivered ``epoch_id`` is skipped because the marker committed
+   atomically with the data. at-least-once + idempotent apply =
+   exactly-once table state.
+
+Watermarks are unnecessary for correctness: LWW keys on the total order
+``(ts, lsn)`` against the *stored* row, so late events apply-or-no-op
+deterministically (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_framework_spark.cdc.apply import apply_changes
+from etl_framework_spark.lakehouse.table import LakeTable
+
+
+def start_ingest(
+    spark: SparkSession,
+    table_path: str,
+    change_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    stream_id: str = "cdc",
+    max_files_per_trigger: int = 2,
+    available_now: bool = True,
+    processing_time: str = "5 seconds",
+    salt_partitions: int = 0,
+    on_batch: Callable[[int], None] | None = None,
+) -> StreamingQuery:
+    """Tail ``change_dir`` (recursive parquet file source) into the
+    LakeTable at ``table_path``.
+
+    ``available_now=True`` drains the current backlog then stops — the
+    deterministic mode used by tests and bench; ``False`` runs a
+    continuous ``processing_time`` trigger. ``on_batch`` is a test hook
+    called after each successful apply (e.g. to simulate a crash).
+    """
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(change_dir)
+    )
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        # refresh: another stream/writer may have advanced the snapshot.
+        table = LakeTable(spark, table_path)
+        apply_changes(
+            table,
+            batch_df,
+            stream_id=stream_id,
+            epoch_id=int(epoch_id),
+            salt_partitions=salt_partitions,
+            source_offsets={"epoch": int(epoch_id)},
+        )
+        if on_batch is not None:
+            on_batch(int(epoch_id))
+
+    writer = (
+        reader.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"ingest-{stream_id}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_to_completion(
+    spark: SparkSession,
+    table_path: str,
+    change_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    **kw,
+) -> None:
+    """Drain the whole backlog synchronously (availableNow + await)."""
+    q = start_ingest(
+        spark, table_path, change_dir, checkpoint_dir, schema, available_now=True, **kw
+    )
+    q.awaitTermination()
