@@ -1,38 +1,686 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL. Both
+sides alias computed columns identically and round floating aggregates so
+the driver's order-insensitive value-hash is stable.
+
+Engine operators under test here come from ``etl_framework_spark``
+(LWW dedupe, set-based upsert resolution, text/dedup/similarity ops);
+plain relational coverage uses the idiomatic DataFrame API so Catalyst
+plans it (pushdown/broadcast visible via .explain).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+REPO_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC so timestamp rendering/literals agree with DuckDB's naive
+    # timestamps regardless of the driver session's default TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LWW change-application (the engine's core operator, W1)
+    over the events stream, enriched with per-user aggregates."""
+    from etl_framework_spark.cdc import lww_dedupe
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = _t(spark, sf_dir, "events")
+    latest = lww_dedupe(events, keys=["user_id"], order_cols=["event_id"])
+    stats = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return (
+        latest.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+        )
+        .join(stats, "user_id")
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+
+def q_filter_project(spark, sf):  # P7/S1: pushdown filter + projection
+    li = _t(spark, sf, "lineitem")
+    # floor(x*100+0.5)/100 instead of round(): identical IEEE ops on both
+    # engines, immune to the decimal-string tie-break divergence between
+    # Spark's BigDecimal rounding and DuckDB's binary rounding.
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.where(
+        (F.col("l_shipdate") < "1996-01-01") & (F.col("l_discount") > 0.05)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(rev * 100 + F.lit(0.5)) / 100).alias("revenue"),
+    )
+
+
+def q_pricing_summary(spark, sf):  # A1-A5: TPC-H Q1 shape
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_group_count(spark, sf):  # A6 + A3
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+def q_monthly_revenue(spark, sf):  # month bucket scalar + grouped agg
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_topk(spark, sf):  # O1: ORDER BY + LIMIT (TakeOrderedAndProject)
+    o = _t(spark, sf, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+def q_join_agg(spark, sf):  # J1: multi-way equi-join + agg
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_broadcast_lookup(spark, sf):  # J4: broadcast dim joins
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+def q_semi_join(spark, sf):  # J3/O3: EXISTS
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_anti_join(spark, sf):  # J2/O4: NOT EXISTS
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_lww_latest_event(spark, sf):  # W1: the engine's LWW operator
+    from etl_framework_spark.cdc import lww_dedupe
+
+    ev = _t(spark, sf, "events")
+    latest = lww_dedupe(ev, keys=["user_id"], order_cols=["event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+def q_upsert_emulation(spark, sf):  # L5/L6: set-based upsert (base+delta)
+    from etl_framework_spark.cdc import lww_dedupe
+
+    ev = _t(spark, sf, "events")
+    n = ev.count()
+    base = ev.where(F.col("event_id") < n // 2)
+    delta = ev.where(F.col("event_id") >= n // 2)
+    merged = lww_dedupe(base.unionByName(delta), keys=["user_id"], order_cols=["event_id"])
+    return merged.select(
+        "user_id", F.col("event_id").alias("last_event_id"), "event_type"
+    )
+
+
+def q_running_total(spark, sf):  # W2-shape: ordered running aggregation
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+def q_rank_topk_per_group(spark, sf):  # W3: top-3 orders per customer
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rk",
+        )
+    )
+
+
+def q_union_distinct(spark, sf):  # O2/O5
+    ev = _t(spark, sf, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "signup").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+def q_intersect_users(spark, sf):  # O3 as set op
+    ev = _t(spark, sf, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    b = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    return a.intersect(b)
+
+
+def q_scalar_functions(spark, sf):  # §2.8 scalar corpus
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat_ws("-", F.lit("ord"), F.col("o_orderkey").cast("string")).alias("tag"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_ref"
+        ),
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
+    )
+
+
+def q_conditional_agg(spark, sf):  # A-family: pivot-shaped conditional sums
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_final"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_partial"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)),
+            2,
+        ).alias("final_revenue"),
+    )
+
+
+def q_dedup_exact(spark, sf):  # exact dedupe: one survivor per text hash
+    d = _t(spark, sf, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("survivor_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def q_doc_quality(spark, sf):  # text quality scoring
+    d = _t(spark, sf, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        toks.alias("n_tokens"),
+        F.round(F.length("text") / toks, 4).alias("avg_token_len"),
+        (F.length("text") == F.col("n_chars")).alias("len_consistent"),
+    )
+
+
+def q_lang_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_token_stats_by_source(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.groupBy("source").agg(
+        F.sum(toks).alias("total_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+    )
+
+
+def q_knn_cosine(spark, sf):  # brute-force cosine top-10 vs vec_id=0
+    e = _t(spark, sf, "embeddings")
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow["embedding"]]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding").cast("array<double>"), lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norm_q = sum(x * x for x in qvec) ** 0.5
+    sim = dot / (norm_a * F.lit(norm_q))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def q_sessionize(spark, sf):  # sessionization: gap>1h starts a session
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_fill_forward(spark, sf):  # W2: ordered ffill/bfill (engine cleaner)
+    from etl_framework_spark.transforms import fill_missing
+
+    ev = _t(spark, sf, "events")
+    # null-out click values deterministically, then fill them back
+    with_nulls = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") != "click", F.col("value")).alias("value"),
+    )
+    filled = fill_missing(
+        with_nulls, order_by=["event_id"], columns=["value"], partition_by=["user_id"]
+    )
+    return filled.select("user_id", "event_id", F.round("value", 4).alias("value"))
+
+
+def q_calc_program(spark, sf):  # §2.8 formula engine on orders
+    from etl_framework_spark.transforms import MappingProgram
+
+    o = _t(spark, sf, "orders")
+    prog = MappingProgram.from_json(
+        {
+            "business_rules": {
+                "tax_rate": 1.08,
+                "status_names": {"O": "open", "F": "final", "P": "partial"},
+            },
+            "calculations": [
+                {"name": "gross", "formula": "round(o_totalprice * tax_rate, 2)"},
+                {
+                    "name": "status_name",
+                    "type": "lookup",
+                    "lookup": "status_names",
+                    "source_column": "o_orderstatus",
+                    "default": "unknown",
+                },
+                {"name": "handling_fee", "value": 150.0},
+                {
+                    "name": "order_quarter",
+                    "dialect": "pandas",
+                    "formula": "o_orderdate.dt.quarter",
+                },
+            ],
+        }
+    )
+    return prog.apply(o).select(
+        "o_orderkey", "gross", "status_name", "handling_fee", "order_quarter"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "filter_project": q_filter_project,
+        "pricing_summary": q_pricing_summary,
+        "group_count": q_group_count,
+        "monthly_revenue": q_monthly_revenue,
+        "topk": q_topk,
+        "join_agg": q_join_agg,
+        "broadcast_lookup": q_broadcast_lookup,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "lww_latest_event": q_lww_latest_event,
+        "upsert_emulation": q_upsert_emulation,
+        "running_total": q_running_total,
+        "rank_topk_per_group": q_rank_topk_per_group,
+        "union_distinct": q_union_distinct,
+        "intersect_users": q_intersect_users,
+        "scalar_functions": q_scalar_functions,
+        "conditional_agg": q_conditional_agg,
+        "dedup_exact": q_dedup_exact,
+        "doc_quality": q_doc_quality,
+        "lang_stats": q_lang_stats,
+        "token_stats_by_source": q_token_stats_by_source,
+        "knn_cosine": q_knn_cosine,
+        "sessionize": q_sessionize,
+        "fill_forward": q_fill_forward,
+        "calc_program": q_calc_program,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "group_count": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "monthly_revenue": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "topk": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "join_agg": """
+            SELECT c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "broadcast_lookup": """
+            SELECT r_name AS region, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_balance
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "lww_latest_event": """
+            SELECT user_id,
+                   max(event_id) AS last_event_id,
+                   arg_max(event_type, event_id) AS last_type,
+                   round(arg_max(value, event_id), 4) AS last_value
+            FROM events GROUP BY user_id
+        """,
+        "upsert_emulation": """
+            SELECT user_id, max(event_id) AS last_event_id,
+                   arg_max(event_type, event_id) AS event_type
+            FROM events GROUP BY user_id
+        """,
+        "running_total": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_value
+            FROM events
+        """,
+        "rank_topk_per_group": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   CAST(rk AS INT) AS rk
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders
+            ) WHERE rk <= 3
+        """,
+        "union_distinct": """
+            SELECT DISTINCT user_id FROM (
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT user_id FROM events WHERE event_type = 'signup'
+            )
+        """,
+        "intersect_users": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'click'
+        """,
+        "scalar_functions": """
+            SELECT o_orderkey,
+                   concat_ws('-', 'ord', CAST(o_orderkey AS VARCHAR)) AS tag,
+                   upper(o_orderpriority) AS prio_upper,
+                   CAST(year(o_orderdate) AS INT) AS order_year,
+                   CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+                   CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT)
+                       AS days_to_ref,
+                   CASE WHEN o_totalprice < 50000 THEN 'small'
+                        WHEN o_totalprice < 200000 THEN 'medium'
+                        ELSE 'large' END AS size_class,
+                   CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k
+            FROM orders
+        """,
+        "conditional_agg": """
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2)
+                       AS final_revenue
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS survivor_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS text_len,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+                   round(length(text) * 1.0 /
+                         len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len,
+                   (length(text) = n_chars) AS len_consistent
+            FROM documents
+        """,
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "token_stats_by_source": """
+            SELECT source,
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+                       AS total_tokens,
+                   round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
+            FROM documents GROUP BY source
+        """,
+        "knn_cosine": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                (SELECT qv FROM q)), 4) AS sim
+            FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(ts) OVER w, ts) > 3600
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                           AS session_id
+                FROM g
+            )
+            SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "fill_forward": """
+            WITH nulled AS (
+                SELECT user_id, event_id,
+                       CASE WHEN event_type <> 'click' THEN value END AS value
+                FROM events
+            ), f AS (
+                SELECT user_id, event_id,
+                       coalesce(
+                           last_value(value IGNORE NULLS) OVER (
+                               PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                           first_value(value IGNORE NULLS) OVER (
+                               PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       ) AS value
+                FROM nulled
+            )
+            SELECT user_id, event_id, round(value, 4) AS value FROM f
+        """,
+        "calc_program": """
+            SELECT o_orderkey,
+                   round(o_totalprice * 1.08, 2) AS gross,
+                   CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'final'
+                        WHEN 'P' THEN 'partial' ELSE 'unknown' END AS status_name,
+                   150.0 AS handling_fee,
+                   CAST(quarter(o_orderdate) AS INT) AS order_quarter
+            FROM orders
+        """,
+    }
