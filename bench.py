@@ -1,0 +1,147 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line on stdout:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Two workload families:
+
+1. **cdc_apply** — the engine's reason to exist: generate a deterministic
+   change log (volume scaled to sf), apply it end-to-end (LWW dedupe +
+   bucket-pruned copy-on-write merge) into a fresh LakeTable. This is
+   the number BENCH/BASELINE.md's scaling study tracks (events/sec to
+   stderr; wall seconds in the JSON).
+2. **operator queries** — representative SURVEY.md §2 coverage (scan/
+   filter/agg/join/window/dedup/knn) from ``__spark_entry__.queries()``,
+   each forced with a noop sink so measured time is full execution, not
+   collect-to-driver.
+
+All timing excludes SparkSession startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from etl_framework_spark.session import get_spark  # noqa: E402
+
+#: headline operator queries (subset of queries() that exercises each
+#: operator family: filter/project, agg, join, broadcast, window, LWW,
+#: set-op, text/dedup, vector search).
+HEADLINE = [
+    "filter_project",
+    "pricing_summary",
+    "join_agg",
+    "broadcast_lookup",
+    "lww_latest_event",
+    "rank_topk_per_group",
+    "sessionize",
+    "anti_join",
+    "dedup_exact",
+    "token_stats_by_source",
+    "knn_cosine",
+    "calc_program",
+]
+
+#: change events per unit sf (sf0.1 -> 2M events).
+EVENTS_PER_SF = 20_000_000
+
+
+def _force(df) -> int:
+    """Fully execute a DataFrame without shipping rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_cdc_apply(spark, n_events: int, n_buckets: int = 64) -> tuple[float, int]:
+    """End-to-end change application: gen -> parquet log -> LWW+merge."""
+    from etl_framework_spark.cdc import apply_changes
+    from etl_framework_spark.datagen import gen_changes
+    from etl_framework_spark.lakehouse import LakeTable
+    from etl_framework_spark.schemas import CHANGE_SCHEMA, KEY_COLUMNS
+
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        log_dir = os.path.join(tmp, "log")
+        # Materialize the log first so generation cost isn't measured.
+        gen_changes(spark, n_events, n_convs=max(n_events // 200, 100)).write.parquet(
+            log_dir, mode="overwrite"
+        )
+        stored = [f for f in CHANGE_SCHEMA.fields if f.name not in ("op", "lsn")]
+        import pyspark.sql.types as T
+
+        table = LakeTable.create(
+            spark,
+            os.path.join(tmp, "table"),
+            schema=T.StructType(stored),
+            key_columns=KEY_COLUMNS,
+            n_buckets=n_buckets,
+        )
+        changes = spark.read.schema(CHANGE_SCHEMA).parquet(log_dir)
+        applied = changes.count()  # forces a cheap scan; also the true count
+        t0 = time.perf_counter()
+        apply_changes(table, changes, stream_id="bench", epoch_id=0)
+        dt = time.perf_counter() - t0
+        return dt, applied
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    spark = get_spark(app_name="bench")
+
+    queries: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        _force(df)
+        queries[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {queries[name]:.3f}s", file=sys.stderr)
+
+    n_events = max(int(sf * EVENTS_PER_SF), 10_000)
+    cdc_sec, applied = bench_cdc_apply(spark, n_events)
+    queries["cdc_apply"] = round(cdc_sec, 3)
+    print(
+        f"[bench] cdc_apply: {applied} events in {cdc_sec:.2f}s "
+        f"= {applied / cdc_sec:,.0f} events/sec",
+        file=sys.stderr,
+    )
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cdc_events_per_sec": round(applied / cdc_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

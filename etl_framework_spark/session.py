@@ -46,9 +46,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # local mode: keep the UI off and the driver quiet
+        # local mode: keep the UI off and the driver quiet. JVM logs go to
+        # STDERR (see log4j2.properties) so stdout stays machine-readable
+        # (bench.py prints exactly one JSON line there).
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=warn")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dlog4j2.configurationFile=file:"
+            + os.path.join(os.path.dirname(os.path.abspath(__file__)), "log4j2.properties"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
