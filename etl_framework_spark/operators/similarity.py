@@ -1,0 +1,157 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths, one semantics (cosine top-k):
+
+- ``knn_brute`` — exact: score every vector against the query batch with
+  pure array expressions, TakeOrderedAndProject for top-k. O(N*Q*dim)
+  but embarrassingly parallel and zero-shuffle until the final top-k;
+  the correctness baseline and the right choice when Q is small.
+- ``ivf_build`` / ``knn_ivf`` — IVF-style scale path: assign each vector
+  to its nearest of C centroids (coarse quantizer); at query time probe
+  only the ``nprobe`` nearest centroid partitions. Cuts scanned rows by
+  ~C/nprobe. Centroids here come from a deterministic hash-sample +
+  one Lloyd refinement computed distributedly (no sklearn, no driver
+  loops over vectors).
+
+Both paths are Column-expression only in the scoring hot loop. A Pandas
+UDF variant (numpy matmul per Arrow batch) is provided for wide
+batches of queries where per-element `aggregate` loses to BLAS —
+``knn_brute(..., vectorized=True)``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_framework_spark.operators.dedup import cosine_expr
+
+
+def _qlit(qvec: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in qvec])
+
+
+def knn_brute(
+    emb: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: Sequence[int] = (),
+    vectorized: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k for one query vector.
+
+    orderBy+limit compiles to TakeOrderedAndProject: each partition keeps
+    a local k-heap, the driver merges P*k rows — no global sort shuffle.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    if vectorized:
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = float(np.linalg.norm(q))
+
+        @F.pandas_udf(T.DoubleType())
+        def cos(batch: pd.Series) -> pd.Series:
+            m = np.asarray(batch.tolist(), dtype=np.float64)  # (B, dim)
+            return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+
+        sim = cos(v)
+    else:
+        sim = cosine_expr(v, _qlit(qvec))
+    out = emb.select(F.col(id_col), sim.alias("sim"))
+    if exclude_ids:
+        out = out.where(~F.col(id_col).isin(*exclude_ids))
+    return out.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index
+# ---------------------------------------------------------------------------
+
+
+def _nearest_centroid(vec, centroids: list[list[float]]):
+    """Column expr: index of the max-cosine centroid for ``vec``."""
+    sims = [cosine_expr(vec, _qlit(c)) for c in centroids]
+    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    return F.coalesce(
+        *[F.when(s == best, F.lit(i)) for i, s in enumerate(sims)]
+    ).alias("centroid_id")
+
+
+def ivf_build(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 1,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Assign every vector to a coarse centroid.
+
+    Seeds = deterministic hash-sample of n_centroids vectors (stable
+    across runs/cluster sizes); each Lloyd iteration is one groupBy-avg
+    (map-side combinable). Returns (assigned_df, centroids). At 100 TB
+    the assigned_df would be *written bucketed by centroid_id* so probes
+    prune files; here it stays a DataFrame.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    # deterministic seed pick: first n_centroids ids by xxhash64 order
+    seeds = (
+        emb.select(F.col(id_col).alias("i"), v.alias("v"))
+        .orderBy(F.pmod(F.xxhash64(F.col("i")), F.lit(1_000_003)), F.col("i"))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in seeds]
+    base = emb.select(F.col(id_col), v.alias("_v"))
+    for _ in range(refine_iters):
+        assigned = base.select(id_col, "_v", _nearest_centroid(F.col("_v"), centroids))
+        dim = len(centroids[0])
+        means = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                *[
+                    F.avg(F.element_at("_v", d + 1)).alias(f"d{d}")
+                    for d in range(dim)
+                ]
+            )
+            .collect()
+        )
+        for r in means:
+            centroids[r["centroid_id"]] = [float(r[f"d{d}"]) for d in range(dim)]
+    assigned = base.select(id_col, "_v", _nearest_centroid(F.col("_v"), centroids))
+    return assigned.withColumnRenamed("_v", vec_col), centroids
+
+
+def knn_ivf(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    qvec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probing only the ``nprobe`` centroids nearest the query.
+
+    The centroid ranking is driver-side math over C small vectors; the
+    scan then prunes to the probed partitions (with bucketed storage
+    this is file-level pruning, not a filter)."""
+    q = np.asarray(qvec, dtype=np.float64)
+
+    def cos(c):
+        c = np.asarray(c)
+        return float(c @ q / (np.linalg.norm(c) * np.linalg.norm(q) + 1e-12))
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:nprobe]
+    sim = cosine_expr(F.col(vec_col).cast("array<double>"), _qlit(qvec))
+    return (
+        assigned.where(F.col("centroid_id").isin(probe))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,161 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure Column expressions (regexp/split/aggregate) — JVM-side, codegen,
+zero UDFs — so they run at scan speed and cost no shuffle of their own:
+quality scoring, token counting, language-ID heuristic, fingerprinting.
+
+Reference parity: the reference's text surface is cleaning + security
+scans (reference:src/etl_framework/plugins/transformers/cleaner.py:82-258,
+reference:src/etl_framework/security/input_validator.py:340-374); these
+operators extend that into the scoring/filtering a 100 TB corpus pipeline
+needs. Every operator is SQL-replayable for oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker sets for the n-gram/stopword-ratio
+#: language heuristic. Deliberately small: the heuristic is a cheap
+#: first-pass router; a real pipeline follows with a model-based pass
+#: over the ambiguous slice only.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "un", "una", "es", "para"],
+}
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    t = F.trim(F.col(text_col))
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Sub-word-ish token count: split on whitespace AND on letter/digit/
+    punctuation boundaries (a cheap deterministic proxy for BPE vocab
+    growth — counts 'foo123!' as 3). Pure regexp, no tokenizer model."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1
+    )
+    return F.size(pieces)
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features: lengths, token stats, punct/space/upper
+    ratios, mean word length — the standard cheap filters (C4/Gopher
+    style) computed in one projection."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = token_count(text_col)
+    n_space = n_chars - F.length(F.regexp_replace(t, r"\s", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        toks.alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_subtokens"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_space / F.greatest(n_chars, F.lit(1)), 6).alias("space_ratio"),
+        F.round(n_upper / F.greatest(n_alpha, F.lit(1)), 6).alias("upper_ratio"),
+        F.round(
+            (n_chars - n_space) / F.greatest(toks, F.lit(1)).cast("double"), 6
+        ).alias("mean_word_len"),
+    )
+
+
+def stopword_ratio(text_col: str = "text", lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    # filter+size (not array_intersect) so repeated stopwords count with
+    # multiplicity — ratios stay comparable across doc lengths.
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword ratios.
+
+    Ties break by language code order (deterministic). Emits the winning
+    lang and its score; callers route low-score docs to a heavier pass.
+    """
+    scored = docs.select(
+        F.col(id_col),
+        *[
+            F.round(stopword_ratio(text_col, lang), 6).alias(f"score_{lang}")
+            for lang in STOPWORDS
+        ],
+    )
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pick = F.coalesce(
+        *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return scored.select(
+        id_col,
+        F.when(best > 0, pick).otherwise(F.lit("unknown")).alias("lang_pred"),
+        best.alias("lang_score"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    fp_size: int = 32,
+) -> DataFrame:
+    """Bottom-``fp_size`` sketch of md5'd character ``k``-gram shingles of
+    the normalized text — a rolling-hash document fingerprint (the
+    scalable cousin of winnowing: instead of per-window minima it keeps
+    the global ``fp_size`` smallest hashes, an unbiased bottom-k minhash
+    sketch with the same containment-estimation property).
+
+    Deliberately a single linear array pipeline (transform -> sort ->
+    slice, no per-element array references): windowed-min formulations
+    look linear but Catalyst's filter inference + project collapsing can
+    re-inline the gram array into per-element lambdas and filters,
+    turning them quadratic in document length (observed: 1.2 s/doc).
+    Returns (id, fp: array<string> sorted, bounded size) — cheap to
+    store, joinable on explode.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(norm.substr(i, F.lit(k))))
+    fp = F.slice(F.array_sort(F.array_distinct(grams)), 1, fp_size)
+    return docs.select(F.col(id_col), fp.alias("fp"))
+
+
+def fingerprint_overlap_pairs(
+    fps: DataFrame, id_col: str = "doc_id", min_common: int = 2, max_df: int = 20
+) -> DataFrame:
+    """Doc pairs (a < b) sharing >= min_common fingerprint hashes.
+    Explode + self-join on hash (one shuffle) + group-count.
+
+    ``max_df`` drops stop-shingles (hashes present in more than max_df
+    docs) before the join — without it a boilerplate shingle shared by
+    m docs contributes m^2 join rows, which is the whole stage cost at
+    corpus scale and carries no dedup signal.
+    """
+    ex = fps.select(F.col(id_col).alias("id"), F.explode("fp").alias("h"))
+    # The FREQUENT set is the small side (stop-shingles are few by
+    # definition) — broadcast it and anti-join, never the rare set.
+    frequent = ex.groupBy("h").count().where(F.col("count") > max_df).select("h")
+    ex = ex.join(F.broadcast(frequent), "h", "left_anti")
+    l, r = ex.alias("l"), ex.alias("r")
+    return (
+        l.join(r, (F.col("l.h") == F.col("r.h")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("common_fp"))
+        .where(F.col("common_fp") >= min_common)
+    )

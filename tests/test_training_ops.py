@@ -1,0 +1,202 @@
+"""Training-data pipeline operators: dedup, text, similarity, multimodal.
+
+Pattern follows the reference's golden-recompute style
+(reference:tests/functional/workflows/test_business_workflow.py:71-90):
+plant known structure (duplicates, near-duplicates, known strings),
+assert the operator recovers exactly it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_framework_spark.operators import (
+    embedding_near_dup,
+    exact_dedup,
+    fingerprint,
+    fingerprint_overlap_pairs,
+    ivf_build,
+    knn_brute,
+    knn_ivf,
+    language_id,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_features,
+    simhash64,
+    simhash_near_pairs,
+)
+from etl_framework_spark.operators.multimodal import (
+    gen_media,
+    image_features,
+    sample_frames,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+NEAR = BASE.replace("afternoon", "evening")  # one token differs
+OTHER = "completely different content about database engines and vectorized execution plans"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER), (4, "tiny"), (5, "")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical_texts(docs):
+    out = exact_dedup(docs).collect()
+    by_copies = {r["n_copies"]: r for r in out}
+    assert len(out) == 5  # 6 docs, one exact dup pair
+    assert by_copies[2]["survivor_doc_id"] == 0
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    assert len(sigs[0]) == 16
+
+
+def test_lsh_finds_exact_and_near_duplicates(docs):
+    sigs = minhash_signatures(docs, num_hashes=16)
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs, bands=8, rows_per_band=2).collect()}
+    assert (0, 1) in pairs  # identical: all bands collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup: high sig overlap
+    assert (0, 3) not in pairs  # unrelated
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    # "afternoon" is token 20 of 21 -> appears in exactly 2 of the 19
+    # distinct trigrams: |A∩B| = 17, |A∪B| = 21
+    assert pairs[(0, 2)] == pytest.approx(17 / 21, abs=1e-6)
+    assert (0, 3) not in pairs
+
+
+def test_simhash_identity_and_near_pairs(docs):
+    hashes = simhash64(docs, bits=16)
+    vals = {r["doc_id"]: r["simhash"] for r in hashes.collect()}
+    assert vals[0] == vals[1]
+    assert all(0 <= v < 2**16 for v in vals.values())
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(hashes, max_hamming=3, bits=16).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_fingerprint_dups_and_overlap(docs):
+    fps = fingerprint(docs)
+    vals = {r["doc_id"]: r["fp"] for r in fps.collect()}
+    assert vals[0] == vals[1]
+    assert sorted(vals[0]) == list(vals[0])
+    pairs = {(r["a"], r["b"]) for r in fingerprint_overlap_pairs(fps, min_common=3, max_df=5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_quality_features_known_string(spark):
+    df = spark.createDataFrame([(1, "Hello, world! ABC 42")], "doc_id long, text string")
+    r = quality_features(df).collect()[0]
+    assert r["n_tokens"] == 4
+    # Hello , world ! ABC 42
+    assert r["n_subtokens"] == 6
+    assert r["n_chars_m"] == 20
+    # punct: , ! -> 2/20 ; spaces: 3/20 ; upper: H ABC -> 4 of 13 letters
+    assert r["punct_ratio"] == pytest.approx(2 / 20)
+    assert r["space_ratio"] == pytest.approx(3 / 20)
+    assert r["upper_ratio"] == pytest.approx(4 / 13)
+
+
+def test_language_id_routes_by_stopwords(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in a corner of the room"),
+            (2, "der hund und die katze sind nicht in der wohnung"),
+            (3, "le chien et le chat sont dans la maison pour un moment"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # vec 20 = near-copy of vec 0
+    rows.append((20, [float(x) + 0.01 for x in base[0]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dup_exact_and_lsh(vecs):
+    exact = {(r["a"], r["b"]) for r in embedding_near_dup(vecs, threshold=0.99).collect()}
+    assert exact == {(0, 20)}
+    lsh = {(r["a"], r["b"]) for r in embedding_near_dup(vecs, threshold=0.99, lsh_bits=2).collect()}
+    assert lsh == {(0, 20)}  # near-identical vectors share all sign bits
+
+
+def test_knn_brute_and_vectorized_agree(vecs):
+    q = [float(x) for x in vecs.where("vec_id = 0").head()["embedding"]]
+    a = [(r["vec_id"], round(r["sim"], 9)) for r in knn_brute(vecs, q, k=5, exclude_ids=[0]).collect()]
+    b = [(r["vec_id"], round(r["sim"], 9)) for r in knn_brute(vecs, q, k=5, exclude_ids=[0], vectorized=True).collect()]
+    assert [x[0] for x in a] == [x[0] for x in b]
+    assert a[0][0] == 20 and a[0][1] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_knn_ivf_full_probe_matches_brute(vecs):
+    q = [float(x) for x in vecs.where("vec_id = 1").head()["embedding"]]
+    assigned, cents = ivf_build(vecs, n_centroids=4)
+    brute = [r["vec_id"] for r in knn_brute(vecs, q, k=5).collect()]
+    ivf_all = [r["vec_id"] for r in knn_ivf(assigned, cents, q, k=5, nprobe=4).collect()]
+    assert ivf_all == brute  # probing every centroid == exact
+    ivf_1 = [r["vec_id"] for r in knn_ivf(assigned, cents, q, k=5, nprobe=1).collect()]
+    assert 1 in ivf_1  # query vector itself lives in the probed cell
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_media_features_deterministic_and_typed(spark):
+    m = gen_media(spark, 30, seed=9)
+    f1 = image_features(m).orderBy("media_id").collect()
+    f2 = image_features(gen_media(spark, 30, seed=9)).orderBy("media_id").collect()
+    assert [r["sha256"] for r in f1] == [r["sha256"] for r in f2]
+    assert len(f1) == 10  # ids 0,3,..,27 are images
+    r = f1[0]
+    assert r["out_width"] == 32 and len(r["embedding"]) == 16
+    assert 0.0 <= r["mean_luma"] <= 255.0
+
+
+def test_media_null_payload_yields_null_features(spark):
+    m = gen_media(spark, 3, seed=1).withColumn(
+        "payload", F.when(F.col("media_id") == 0, None).otherwise(F.col("payload"))
+    )
+    rows = {r["media_id"]: r for r in image_features(m).collect()}
+    assert rows[0]["sha256"] is None  # decode failure -> null features, row kept
+
+
+def test_frame_sampling_counts_match_duration(spark):
+    m = gen_media(spark, 30, seed=9)
+    frames = sample_frames(m, every_ms=5000)
+    per = frames.groupBy("media_id").count().collect()
+    metas = {r["media_id"]: r["meta"] for r in m.collect()}
+    for row in per:
+        meta = metas[row["media_id"]]
+        assert meta["media_type"] == "video"
+        expect = len(range(0, meta["duration_ms"], 5000))
+        assert row["count"] == expect
