@@ -185,9 +185,9 @@ def q_semi_join(spark, sf):  # J3/O3: EXISTS
     )
 
 
-def q_anti_join(spark, sf):  # J2/O4: NOT EXISTS
+def q_anti_join(spark, sf):  # J2/O4: NOT EXISTS (date-bounded so non-empty)
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") >= "1997-06-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
@@ -435,6 +435,119 @@ def q_calc_program(spark, sf):  # §2.8 formula engine on orders
     )
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline operators (dedup / text / similarity / multimodal)
+# --------------------------------------------------------------------------
+
+_MINHASH_K = 16
+_LSH_BANDS = 4
+_LSH_ROWS = 4
+_SIMHASH_BITS = 16
+
+
+def q_minhash_lsh_pairs(spark, sf):  # MinHash+LSH near-dup candidates
+    from etl_framework_spark.operators import lsh_candidate_pairs, minhash_signatures
+
+    d = _t(spark, sf, "documents")
+    sigs = minhash_signatures(d, num_hashes=_MINHASH_K)
+    return lsh_candidate_pairs(sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS, max_bucket=50)
+
+
+def q_ngram_jaccard(spark, sf):  # exact n-gram Jaccard pairs
+    from etl_framework_spark.operators import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    out = ngram_jaccard_pairs(d, threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark, sf):  # per-doc 16-bit SimHash
+    from etl_framework_spark.operators import simhash64
+
+    d = _t(spark, sf, "documents")
+    return simhash64(d, bits=_SIMHASH_BITS)
+
+
+def q_simhash_near_pairs(spark, sf):  # blocked Hamming<=3 pairs
+    from etl_framework_spark.operators import simhash64, simhash_near_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_near_pairs(
+        simhash64(d, bits=_SIMHASH_BITS), max_hamming=3, bits=_SIMHASH_BITS
+    )
+
+
+def q_embedding_near_dup(spark, sf):  # cosine-threshold near-dup pairs
+    from etl_framework_spark.operators import embedding_near_dup
+
+    e = _t(spark, sf, "embeddings")
+    out = embedding_near_dup(e, threshold=0.4)
+    return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_doc_fingerprint(spark, sf):  # bottom-k rolling-hash fingerprint
+    from etl_framework_spark.operators import fingerprint
+
+    d = _t(spark, sf, "documents")
+    fp = fingerprint(d, k=8, fp_size=32)
+    return fp.select("doc_id", F.concat_ws(",", "fp").alias("fp_str"), F.size("fp").alias("fp_n"))
+
+
+def q_fingerprint_overlap(spark, sf):  # docs sharing >=3 fingerprint hashes
+    from etl_framework_spark.operators import fingerprint, fingerprint_overlap_pairs
+
+    d = _t(spark, sf, "documents")
+    return fingerprint_overlap_pairs(fingerprint(d, k=8, fp_size=32), min_common=3, max_df=20)
+
+
+def q_quality_features(spark, sf):  # text quality scoring feature vector
+    from etl_framework_spark.operators import quality_features
+
+    d = _t(spark, sf, "documents")
+    return quality_features(d)
+
+
+def q_lang_id_stats(spark, sf):  # heuristic language-ID routing counts
+    from etl_framework_spark.operators import language_id
+
+    d = _t(spark, sf, "documents")
+    return language_id(d).groupBy("lang_pred").agg(F.count("*").alias("n_docs"))
+
+
+def q_knn_ivf_full(spark, sf):  # IVF ANN with nprobe=all == exact top-10
+    from etl_framework_spark.operators import ivf_build, knn_ivf
+
+    e = _t(spark, sf, "embeddings")
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow["embedding"]]
+    assigned, cents = ivf_build(e.where(F.col("vec_id") != 0), n_centroids=8)
+    out = knn_ivf(assigned, cents, qvec, k=10, nprobe=8)
+    return out.select("vec_id", F.round("sim", 4).alias("sim"))
+
+
+def q_media_features(spark, sf):  # multimodal plumbing (rows-only check)
+    from etl_framework_spark.operators.multimodal import gen_media, image_features
+
+    m = gen_media(spark, 300, seed=11)
+    return (
+        image_features(m)
+        .groupBy("out_width", "out_height")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+        )
+    )
+
+
+def q_frame_sample(spark, sf):  # video frame sampling (rows-only check)
+    from etl_framework_spark.operators.multimodal import gen_media, sample_frames
+
+    m = gen_media(spark, 300, seed=11)
+    return sample_frames(m, every_ms=5000).groupBy("media_id").agg(
+        F.count("*").alias("n_frames"), F.max("frame_ms").alias("last_ms")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_project": q_filter_project,
@@ -462,11 +575,205 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "fill_forward": q_fill_forward,
         "calc_program": q_calc_program,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "fingerprint_overlap": q_fingerprint_overlap,
+        "quality_features": q_quality_features,
+        "lang_id_stats": q_lang_id_stats,
+        "knn_ivf_full": q_knn_ivf_full,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
     }
+
+
+# Shared oracle fragments (must mirror etl_framework_spark.operators 1:1).
+
+#: distinct word-trigram shingles per doc (mirrors dedup.shingles_expr)
+_SH_CTE = r"""
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+    FROM toks
+)
+"""
+
+#: bottom-32 char-8-gram fingerprint per doc (mirrors text.fingerprint)
+_FP_CTE = r"""
+nrm AS (
+    SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS nm FROM documents
+), fps AS (
+    SELECT doc_id,
+           list_sort(list_distinct(
+               [md5(substring(nm, i, 8))
+                for i in range(1, greatest(length(nm) - 7, 1) + 1)]))[1:32] AS fp
+    FROM nrm
+)
+"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    hv = "(('0x' || substring(md5(tok), 1, 15))::BIGINT)"
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN ({hv} & {1 << k}) <> 0 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(bits)
+    )
+    combine = " + ".join(f"(CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(bits))
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents
+        ), v AS (
+            SELECT doc_id,
+           {votes}
+            FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM v
+    """
+
+
+def _lang_id_sql() -> str:
+    from etl_framework_spark.operators.text import STOPWORDS
+
+    score = lambda lang: (  # noqa: E731
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"], x))) * 1.0 / greatest(len(t), 1) AS s_{lang}"
+    )
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'unknown' " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM documents
+        ), sc AS (
+            SELECT doc_id, {", ".join(score(lang) for lang in langs)} FROM toks
+        ), p AS (
+            SELECT doc_id, {case} AS lang_pred FROM sc
+        )
+        SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY lang_pred
+    """
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_lsh_pairs": rf"""
+            WITH {_SH_CTE}, sigs AS (
+                SELECT doc_id,
+                       [list_min([md5(x || '#' || CAST(j AS VARCHAR)) for x in s])
+                        for j in range({_MINHASH_K})] AS sig
+                FROM sh
+            ), bands AS (
+                SELECT doc_id, j AS bd,
+                       md5(array_to_string(sig[j*{_LSH_ROWS}+1 : j*{_LSH_ROWS}+{_LSH_ROWS}], '|')) AS bh
+                FROM sigs, (SELECT unnest(range({_LSH_BANDS})) AS j)
+            ), bsize AS (
+                SELECT bd, bh, count(*) AS c FROM bands GROUP BY bd, bh
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x
+            JOIN bands y ON x.bd = y.bd AND x.bh = y.bh AND x.doc_id < y.doc_id
+            JOIN bsize z ON z.bd = x.bd AND z.bh = x.bh
+            WHERE z.c > 1 AND z.c <= 50
+        """,
+        "ngram_jaccard": rf"""
+            WITH {_SH_CTE}, ex AS (
+                SELECT doc_id AS id, unnest(s) AS g FROM sh
+            ), sizes AS (
+                SELECT id, count(*) AS n FROM ex GROUP BY id
+            ), common AS (
+                SELECT l.id AS a, r.id AS b, count(*) AS c
+                FROM ex l JOIN ex r ON l.g = r.g AND l.id < r.id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.id = a
+            JOIN sizes sb ON sb.id = b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        """,
+        "simhash": _simhash_sql(_SIMHASH_BITS),
+        "simhash_near_pairs": rf"""
+            WITH s AS ({_simhash_sql(_SIMHASH_BITS)})
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+            FROM s l JOIN s r
+              ON (l.simhash // {1 << (_SIMHASH_BITS // 2)}) = (r.simhash // {1 << (_SIMHASH_BITS // 2)})
+             AND l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+        """,
+        "embedding_near_dup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   round(list_cosine_similarity(l.v, r.v), 4) AS cosine
+            FROM e l JOIN e r ON l.vec_id < r.vec_id
+            WHERE list_cosine_similarity(l.v, r.v) >= 0.4
+        """,
+        "doc_fingerprint": rf"""
+            WITH {_FP_CTE}
+            SELECT doc_id, array_to_string(fp, ',') AS fp_str,
+                   CAST(len(fp) AS INT) AS fp_n
+            FROM fps
+        """,
+        "fingerprint_overlap": rf"""
+            WITH {_FP_CTE}, ex AS (
+                SELECT doc_id AS id, unnest(fp) AS h FROM fps
+            ), freq AS (
+                SELECT h FROM ex GROUP BY h HAVING count(*) > 20
+            ), fil AS (
+                SELECT id, h FROM ex WHERE h NOT IN (SELECT h FROM freq)
+            )
+            SELECT l.id AS a, r.id AS b, count(*) AS common_fp
+            FROM fil l JOIN fil r ON l.h = r.h AND l.id < r.id
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        """,
+        "quality_features": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars_m,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+                       AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS INT) AS n_subtokens,
+                   round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                         * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text, '\s', '', 'g')))
+                         * 1.0 / greatest(length(text), 1), 6) AS space_ratio,
+                   round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                         * 1.0 / greatest(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')), 1), 6)
+                       AS upper_ratio,
+                   round((length(regexp_replace(text, '\s', '', 'g')))
+                         * 1.0 / greatest(CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 6)
+                       AS mean_word_len
+            FROM documents
+        """,
+        "lang_id_stats": _lang_id_sql(),
+        "knn_ivf_full": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                (SELECT qv FROM q)), 4) AS sim
+            FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)) DESC, vec_id ASC
+            LIMIT 10
+        """,
         "filter_project": """
             SELECT l_orderkey, l_linenumber,
                    floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue
@@ -527,7 +834,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT c_custkey, c_mktsegment FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '1997-06-01')
         """,
         "lww_latest_event": """
             SELECT user_id,

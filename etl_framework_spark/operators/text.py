@@ -89,10 +89,14 @@ def language_id(
     Ties break by language code order (deterministic). Emits the winning
     lang and its score; callers route low-score docs to a heavier pass.
     """
+    # Scores stay UNROUNDED through the argmax: hits/len is the same IEEE
+    # division in any engine, so equality-vs-greatest is replayable in
+    # oracle SQL; rounding first would make tie-breaks depend on each
+    # engine's round() ulp behavior.
     scored = docs.select(
         F.col(id_col),
         *[
-            F.round(stopword_ratio(text_col, lang), 6).alias(f"score_{lang}")
+            stopword_ratio(text_col, lang).alias(f"score_{lang}")
             for lang in STOPWORDS
         ],
     )
@@ -104,7 +108,7 @@ def language_id(
     return scored.select(
         id_col,
         F.when(best > 0, pick).otherwise(F.lit("unknown")).alias("lang_pred"),
-        best.alias("lang_score"),
+        F.round(best, 6).alias("lang_score"),
     )
 
 
