@@ -548,6 +548,43 @@ def q_frame_sample(spark, sf):  # video frame sampling (rows-only check)
     )
 
 
+def q_rollup_revenue(spark, sf):  # A8: rollup (partial-agg grouping sets)
+    o = _t(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def q_cube_counts(spark, sf):  # A8: cube
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", F.year("o_orderdate").alias("yr")).agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def q_mask_pii(spark, sf):  # C3: masking via single regexp, no UDF
+    from etl_framework_spark.transforms import mask_column
+
+    c = _t(spark, sf, "customer")
+    return mask_column(c.select("c_custkey", "c_name"), "c_name", keep_last=4)
+
+
+def q_sanitize_strings(spark, sf):  # C4: control-char/script-tag strip
+    from etl_framework_spark.transforms import sanitize_strings
+
+    d = _t(spark, sf, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<script>x</script>"), F.col("text"), F.lit("\x01\x02")
+        ).alias("text"),
+    )
+    return sanitize_strings(dirty, ["text"]).select(
+        "doc_id", F.md5("text").alias("clean_hash"), F.length("text").alias("clean_len")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_project": q_filter_project,
@@ -587,6 +624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_full": q_knn_ivf_full,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "rollup_revenue": q_rollup_revenue,
+        "cube_counts": q_cube_counts,
+        "mask_pii": q_mask_pii,
+        "sanitize_strings": q_sanitize_strings,
     }
 
 
@@ -761,6 +802,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id_stats": _lang_id_sql(),
+        "rollup_revenue": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_counts": """
+            SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr,
+                   count(*) AS n_orders
+            FROM orders GROUP BY CUBE (o_orderstatus, yr)
+        """,
+        "mask_pii": """
+            SELECT c_custkey,
+                   repeat('*', greatest(length(c_name) - 4, 0)) ||
+                   right(c_name, least(length(c_name), 4)) AS c_name
+            FROM customer
+        """,
+        "sanitize_strings": r"""
+            WITH dirty AS (
+                SELECT doc_id,
+                       '<script>x</script>' || text || chr(1) || chr(2) AS text
+                FROM documents
+            ), clean AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(text, '(?i)<script.*?>.*?</script>', '', 'g'),
+                           '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g') AS text
+                FROM dirty
+            )
+            SELECT doc_id, md5(text) AS clean_hash,
+                   CAST(length(text) AS INT) AS clean_len
+            FROM clean
+        """,
         "knn_ivf_full": """
             WITH q AS (
                 SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0

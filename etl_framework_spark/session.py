@@ -28,6 +28,19 @@ def get_spark(
     ``local[*]``. In a real deployment this is driven by spark-submit and
     the master here is ignored; the confs below are cluster-safe.
     """
+    # Driver memory MUST be set before the JVM exists — builder confs are
+    # silently ignored for spark.driver.memory in an already-launched
+    # local JVM (observed: 32 parquet writer threads thrashing a 1 GB
+    # default heap made local[32] 2.6x SLOWER than local[8]).
+    from pyspark import SparkContext
+
+    if (
+        SparkContext._active_spark_context is None
+        and "PYSPARK_SUBMIT_ARGS" not in os.environ
+    ):
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
