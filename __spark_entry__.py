@@ -548,6 +548,124 @@ def q_frame_sample(spark, sf):  # video frame sampling (rows-only check)
     )
 
 
+# --------------------------------------------------------------------------
+# CDC engine end-to-end (the reason this repo exists): events table mapped
+# to a change log, applied through the engine, final state vs SQL replay
+# --------------------------------------------------------------------------
+
+
+def _events_as_changes(spark, sf) -> DataFrame:
+    """Deterministic CDC mapping of the driver's events table:
+    key (conv_id=user_id, turn_idx=event_id%7), order (ts, lsn=event_id),
+    clicks are deletes, everything else upserts."""
+    ev = _t(spark, sf, "events")
+    is_del = F.col("event_type") == "click"
+    return ev.select(
+        F.when(is_del, "D").otherwise("U").alias("op"),
+        F.col("event_id").cast("long").alias("lsn"),
+        # parquet naive timestamps surface as timestamp_ntz in Spark 4;
+        # the table schema is timestamp (session TZ pinned to UTC).
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod("event_id", F.lit(7)).cast("int").alias("turn_idx"),
+        F.when(~is_del, F.col("event_type")).alias("role"),
+        F.when(
+            ~is_del,
+            F.concat_ws("#", F.col("event_type"), F.col("event_id").cast("string")),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+
+
+_CDC_REPLAY_ORACLE = """
+    WITH ch AS (
+        SELECT CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+               event_id AS lsn, ts,
+               'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+               CAST(event_id % 7 AS INT) AS turn_idx,
+               event_type AS role,
+               event_type || '#' || CAST(event_id AS VARCHAR) AS text
+        FROM events
+    ), w AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+        FROM ch
+    )
+    SELECT conv_id, turn_idx, role, text, ts, lsn AS _lsn
+    FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def _final_state(table) -> DataFrame:
+    return table.refresh().current().select(
+        "conv_id", "turn_idx", "role", "text", "ts", "_lsn"
+    )
+
+
+def q_cdc_apply_batch(spark, sf):  # batch apply_changes -> final table state
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.cdc import apply_changes
+    from etl_framework_spark.lakehouse import LakeTable
+    from etl_framework_spark.schemas import KEY_COLUMNS, TRANSCRIPT_SCHEMA
+
+    from pyspark.sql import types as T
+
+    changes = _events_as_changes(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="entry_cdc_")
+    stored = T.StructType(TRANSCRIPT_SCHEMA.fields)
+    table = LakeTable.create(
+        spark, f"{tmp}/t", schema=stored, key_columns=KEY_COLUMNS, n_buckets=16
+    )
+    apply_changes(table, changes, stream_id="entry", epoch_id=0)
+    fs = _final_state(table)
+    schema, out = fs.schema, fs.toPandas()  # materialize before tmp cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, schema=schema)
+
+
+def q_cdc_stream_apply(spark, sf):  # full streaming path -> final state
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.lakehouse import LakeTable
+    from etl_framework_spark.schemas import CHANGE_SCHEMA, KEY_COLUMNS, TRANSCRIPT_SCHEMA
+    from etl_framework_spark.streaming import run_to_completion
+
+    from pyspark.sql import types as T
+
+    changes = _events_as_changes(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="entry_stream_")
+    # write the change log as 4 lsn-ranged batch files (binlog segments)
+    n = changes.count()
+    per = max(n // 4, 1)
+    for b in range(4):
+        changes.where(
+            (F.col("lsn") >= b * per) & (F.col("lsn") < (b + 1) * per if b < 3 else F.lit(True))
+        ).write.parquet(f"{tmp}/log/batch={b:03d}", mode="overwrite")
+    LakeTable.create(
+        spark,
+        f"{tmp}/t",
+        schema=T.StructType(TRANSCRIPT_SCHEMA.fields),
+        key_columns=KEY_COLUMNS,
+        n_buckets=16,
+    )
+    run_to_completion(
+        spark,
+        f"{tmp}/t",
+        f"{tmp}/log",
+        f"{tmp}/ckpt",
+        CHANGE_SCHEMA,
+        stream_id="entry-stream",
+    )
+    table = LakeTable(spark, f"{tmp}/t")
+    fs = _final_state(table)
+    schema, out = fs.schema, fs.toPandas()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, schema=schema)
+
+
 def q_rollup_revenue(spark, sf):  # A8: rollup (partial-agg grouping sets)
     o = _t(spark, sf, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -628,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "mask_pii": q_mask_pii,
         "sanitize_strings": q_sanitize_strings,
+        "cdc_apply_batch": q_cdc_apply_batch,
+        "cdc_stream_apply": q_cdc_stream_apply,
     }
 
 
@@ -819,6 +939,8 @@ def oracle_sql() -> dict[str, str]:
                    right(c_name, least(length(c_name), 4)) AS c_name
             FROM customer
         """,
+        "cdc_apply_batch": _CDC_REPLAY_ORACLE,
+        "cdc_stream_apply": _CDC_REPLAY_ORACLE,
         "sanitize_strings": r"""
             WITH dirty AS (
                 SELECT doc_id,
