@@ -12,17 +12,15 @@ in-memory key-set UPSERT
 file variant reference:src/etl_framework/plugins/loaders/file_loader.py:199-260)
 with two set-based strategies:
 
-- ``lww_dedupe`` — groupBy(keys).max(struct(order..., payload...)).
-  Chosen as the default because hash aggregation gets **map-side partial
-  combine**: each executor collapses its partition to one candidate per
-  key before the shuffle, so duplicate-heavy and hot-key-heavy logs
-  shuffle ~|distinct keys| rows, not |events|. A window implementation
-  (also provided, for parity testing) must shuffle and SORT every event.
+- ``lww_dedupe`` — default: ``row_number`` window (one shuffle + one
+  column-comparator sort per partition). Benchmarked 2-3x faster than
+  the groupBy(keys).max(struct(...)) formulation because max-of-struct
+  has no mutable hash-agg buffer and Catalyst plans SortAggregate
+  (struct-comparator sorts on both partial and final stages).
 - optional **two-stage salted aggregation** for pathological per-key
-  fan-in: stage 1 aggregates on (keys, salt), stage 2 on keys. With
-  partial aggregation the single-stage plan already absorbs most skew;
-  the salted path exists for the window-less guarantee the north rule
-  asks for and is benchmarked in BENCH/.
+  fan-in: stage 1 aggregates on (keys, salt), stage 2 on keys, so no
+  single task owns a whole hot conversation (the window variant cannot
+  give that guarantee). Benchmarked in BENCH/.
 """
 
 from __future__ import annotations
@@ -53,13 +51,28 @@ def lww_dedupe(
     order_cols: Sequence[str] = ORDER_COLUMNS,
     salt_partitions: int = 0,
 ) -> DataFrame:
-    """One winning row per key. ``salt_partitions`` > 0 enables the
-    two-stage salted aggregation for hot-key skew."""
-    winner = _winner_struct(df, keys, order_cols)
-    out_cols = [*keys] + [
-        F.col(f"{_W}.{c}").alias(c) for c in df.columns if c not in keys
-    ]
+    """One winning row per key.
+
+    Default path is the ``row_number`` window (W1 as literally stated in
+    SURVEY.md): measured fastest AND thread-scalable. The aggregate
+    formulation (``groupBy.max(struct)``) looks better on paper
+    (map-side partial combine) but ``max(struct-with-strings)`` has no
+    mutable hash-agg buffer, so Catalyst plans **SortAggregate** — a
+    struct-comparator sort on BOTH the partial and final stages, which
+    benchmarked 2-3x slower than the window's one column-comparator
+    sort (8.7 s vs 3.3 s on a 4M-event log at local[8]).
+
+    ``salt_partitions`` > 0 switches to the two-stage salted aggregation:
+    a hot key's events split across ``salt_partitions`` sub-groups in
+    stage 1, so no single task sorts a whole hot conversation — the
+    skew guarantee the window variant cannot give (its partitionBy puts
+    every event of a key in one task).
+    """
     if salt_partitions > 0:
+        winner = _winner_struct(df, keys, order_cols)
+        out_cols = [*keys] + [
+            F.col(f"{_W}.{c}").alias(c) for c in df.columns if c not in keys
+        ]
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_partitions))
         stage1 = (
             df.withColumn("_salt", salt)
@@ -73,7 +86,7 @@ def lww_dedupe(
             .agg(F.max(F.col(_W)).alias(_W))
             .select(*out_cols)
         )
-    return df.groupBy(*keys).agg(F.max(winner).alias(_W)).select(*out_cols)
+    return lww_dedupe_window(df, keys=keys, order_cols=order_cols)
 
 
 def lww_dedupe_window(
@@ -81,10 +94,8 @@ def lww_dedupe_window(
     keys: Sequence[str] = KEY_COLUMNS,
     order_cols: Sequence[str] = ORDER_COLUMNS,
 ) -> DataFrame:
-    """row_number()-based variant (SURVEY.md W1 as literally stated).
-    Kept for parity tests and as the SQL-oracle-shaped formulation; the
-    aggregate form above is the production path (no total sort, partial
-    aggregation map-side)."""
+    """row_number()-based LWW (the production unsalted path; see
+    ``lww_dedupe`` for the measured rationale)."""
     rest = [c for c in df.columns if c not in keys and c not in order_cols]
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).desc() for c in order_cols], *[F.col(c).desc_nulls_last() for c in rest]
@@ -96,20 +107,12 @@ def lww_dedupe_window(
     )
 
 
-def resolve_lww(
-    target: DataFrame,
-    source: DataFrame,
-    keys: Sequence[str] = KEY_COLUMNS,
-) -> DataFrame:
-    """Merge resolver: union stored rows (as pseudo-events) with incoming
-    change events, take the LWW winner per key, drop delete winners.
-
-    ``target`` is the stored transcript subset (payload + ts + _lsn);
-    ``source`` is CDC-enveloped (op/lsn/ts + payload). Output is stored
-    shape. This is the set-based equivalent of Iceberg
-    ``MERGE ... WHEN MATCHED [AND src newer] UPDATE / WHEN MATCHED AND
-    op='D' DELETE / WHEN NOT MATCHED INSERT``.
-    """
+def _union_as_events(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> tuple[DataFrame, list[str]]:
+    """Union stored rows (as pseudo-events) with incoming change events,
+    upcasting the source to the table's types. Returns (events, payload
+    columns)."""
     payload_cols = [
         c for c in target.columns if c not in (*keys, "ts", "_lsn", "_deleted")
     ]
@@ -134,12 +137,15 @@ def resolve_lww(
             for c in payload_cols
         ],
     )
-    winners = lww_dedupe(as_events.unionByName(src), keys=keys)
-    # Winning deletes persist as TOMBSTONES (not physical drops): a later
-    # batch may still deliver an *older* event for the key, and only the
-    # stored (ts, _lsn) lets it no-op. Tombstones are filtered by
-    # ``LakeTable.current()`` and garbage-collected once older than the
-    # log's out-of-orderness bound (``compact_tombstones``).
+    return as_events.unionByName(src), payload_cols
+
+
+def _winners_to_stored(winners: DataFrame, keys: Sequence[str], payload_cols: list[str]) -> DataFrame:
+    """Project LWW winners to stored shape. Winning deletes persist as
+    TOMBSTONES (not physical drops): a later batch may still deliver an
+    *older* event for the key, and only the stored (ts, _lsn) lets it
+    no-op. Tombstones are filtered by ``LakeTable.current()`` and
+    garbage-collected via ``compact_tombstones``."""
     return winners.select(
         *keys,
         *[F.when(F.col("op") != "D", F.col(c)).alias(c) for c in payload_cols],
@@ -147,6 +153,84 @@ def resolve_lww(
         F.col("lsn").alias("_lsn"),
         (F.col("op") == "D").alias("_deleted"),
     )
+
+
+def resolve_lww(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str] = KEY_COLUMNS,
+) -> DataFrame:
+    """Merge resolver (reference formulation): union + per-key LWW winner
+    + tombstone projection. Output is stored shape. Set-based equivalent
+    of Iceberg ``MERGE ... WHEN MATCHED [AND src newer] UPDATE / WHEN
+    MATCHED AND op='D' DELETE / WHEN NOT MATCHED INSERT``."""
+    combined, payload_cols = _union_as_events(target, source, keys)
+    winners = lww_dedupe(combined, keys=keys)
+    return _winners_to_stored(winners, keys, payload_cols)
+
+
+def resolve_lww_bucketed(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    key_col: str,
+    n_buckets: int,
+    partitions: int | None = None,
+    strict_ties: bool = False,
+) -> DataFrame:
+    """Single-shuffle merge resolver, aligned with the table's bucket
+    layout (the scale path used by ``apply_changes``):
+
+        repartition(hash(_bucket))           <- the ONLY shuffle
+        window over _bucket ORDER BY (keys ASC, order DESC)
+        winner = first row of each key run (lag-based)
+
+    vs the naive plan's three shuffles (dedupe-by-key, resolve-by-key,
+    repartition-by-bucket). Output keeps ``_bucket`` and arrives sorted
+    by key, so the writer needs no further exchange or sort. Measured
+    ~2x end-to-end on a 16M-event apply.
+    """
+    from etl_framework_spark.lakehouse.table import bucket_expr
+
+    combined, payload_cols = _union_as_events(target, source, keys)
+    rest = [
+        c for c in combined.columns if c not in keys and c not in ORDER_COLUMNS
+    ]
+    # _ksalt spreads a HOT BUCKET over ``key_salt`` tasks while keeping
+    # every key's events in one task (salt is a pure function of the
+    # key): a Zipf-hot conversation otherwise serializes its whole
+    # bucket's sort into a single straggler (north-rule skew case).
+    key_salt = max(4, (partitions or n_buckets * 4) // n_buckets)
+    keyed = combined.withColumn("_bucket", bucket_expr(key_col, n_buckets)).withColumn(
+        "_ksalt",
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(key_salt)).cast("int"),
+    )
+    keyed = keyed.repartition(partitions or n_buckets * 4, "_bucket", "_ksalt")
+    # Payload columns join the sort ONLY under strict_ties: a (ts, lsn)
+    # tie means a byte-identical re-delivery (binlog contract), so the
+    # winner's content is the same either way — and sorting multi-KB
+    # text as a tiebreak measurably dominates the sort. strict_ties=True
+    # restores full determinism for logs that violate the contract.
+    w = Window.partitionBy("_bucket", "_ksalt").orderBy(
+        *[F.col(k).asc() for k in keys],
+        *[F.col(c).desc() for c in ORDER_COLUMNS],
+        *([F.col(c).desc_nulls_last() for c in rest] if strict_ties else []),
+    )
+    # first row of each key run; eqNullSafe makes the partition head
+    # (lag = NULL) and NULL-key comparisons well-defined
+    diffs = [~F.col(k).eqNullSafe(F.lag(k).over(w)) for k in keys]
+    is_first = diffs[0]
+    for d in diffs[1:]:
+        is_first = is_first | d
+    winners = keyed.withColumn("_first", is_first).where("_first").drop("_first")
+    return winners.select(
+        *keys,
+        *[F.when(F.col("op") != "D", F.col(c)).alias(c) for c in payload_cols],
+        "ts",
+        F.col("lsn").alias("_lsn"),
+        (F.col("op") == "D").alias("_deleted"),
+        "_bucket",
+    )  # _ksalt dropped; files per bucket = #salt groups that saw rows
 
 
 def compute_lineage(changes: DataFrame, key_col: str, n_buckets: int) -> list[dict]:
@@ -185,14 +269,40 @@ def apply_changes(
     if epoch_id is not None and epoch_id <= table.last_epoch(stream_id):
         return None
 
-    deduped = lww_dedupe(changes, salt_partitions=salt_partitions)
+    if salt_partitions > 0:
+        # Skew path: salted two-stage aggregation collapses hot keys
+        # before the resolve; then the standard resolver runs on the
+        # (small) winner set.
+        deduped = lww_dedupe(changes, salt_partitions=salt_partitions)
+        resolver = lambda tgt, src: resolve_lww(  # noqa: E731
+            tgt, src, keys=table.key_columns
+        )
+    else:
+        # Fast path: feed raw changes to the single-shuffle bucket-aligned
+        # resolver (repartition by bucket -> one window -> direct write).
+        deduped = changes
+        n_part = int(
+            changes.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        resolver = lambda tgt, src: resolve_lww_bucketed(  # noqa: E731
+            tgt,
+            src,
+            keys=table.key_columns,
+            key_col=table.key_columns[0],
+            n_buckets=table.n_buckets,
+            partitions=max(n_part, table.n_buckets),
+        )
     summary: dict = {"stream_id": stream_id}
     if source_offsets:
         summary["source_offsets"] = source_offsets
+    touched: list[int] | None = None
     if lineage:
         summary["lineage"] = compute_lineage(
             changes, table.key_columns[0], table.n_buckets
         )
+        # the lineage aggregation already named every bucket this batch
+        # touches — reuse it, saving merge() a second full scan
+        touched = [int(r["bucket"]) for r in summary["lineage"]]
     # Stored-shape schema implied by this batch: payload + ts + _lsn + _deleted.
     envelope = {"op", "lsn"}
     stored_fields = [f for f in changes.schema.fields if f.name not in envelope]
@@ -205,8 +315,9 @@ def apply_changes(
     )
     return table.merge(
         deduped,
-        resolve=lambda tgt, src: resolve_lww(tgt, src, keys=table.key_columns),
+        resolve=resolver,
         evolve_schema=stored_schema,
         summary=summary,
         epoch=(stream_id, epoch_id) if epoch_id is not None else None,
+        touched=touched,
     )

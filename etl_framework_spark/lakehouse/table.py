@@ -99,9 +99,12 @@ def merge_schemas(current: T.StructType, incoming: T.StructType) -> tuple[T.Stru
     return T.StructType(fields), changed
 
 
-def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+def align_to_schema(
+    df: DataFrame, schema: T.StructType, keep: list[str] | None = None
+) -> DataFrame:
     """Project ``df`` onto ``schema``: missing columns become NULL, common
-    columns are cast. The Spark analog of the reference's
+    columns are cast; ``keep`` names pass-through system columns (e.g.
+    ``_bucket``) preserved verbatim. The Spark analog of the reference's
     ``_ensure_columns_exist`` + per-column ALTER
     (reference:src/etl_framework/plugins/loaders/sql_loader.py:115-167)."""
     have = set(df.columns)
@@ -111,6 +114,7 @@ def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
         )
         for f in schema.fields
     ]
+    cols += [F.col(c) for c in (keep or []) if c in have]
     return df.select(*cols)
 
 
@@ -300,19 +304,26 @@ class LakeTable:
     # ------------------------------------------------------------- writes
     def _write_data(self, df: DataFrame, schema_id: int) -> dict[str, list[dict[str, Any]]]:
         """Write df (already aligned to schema_id's schema) bucket-
-        partitioned; returns bucket -> manifest entries."""
+        partitioned; returns bucket -> manifest entries.
+
+        If ``df`` already carries a ``_bucket`` column (the single-shuffle
+        resolver emits data repartitioned by bucket and key-sorted), it is
+        written as-is — no extra exchange or sort."""
         commit_id = uuid.uuid4().hex[:16]
         out_dir = os.path.join(self.path, DATA_DIR, commit_id)
         schema = self._schemas[schema_id]
-        keyed = df.withColumn("_bucket", bucket_expr(self.key_columns[0], self.n_buckets))
-        # One shuffle, partitioned by bucket so each output dir is written
-        # by the tasks owning that bucket; file count per bucket stays low.
-        (
-            keyed.repartition("_bucket")
-            .sortWithinPartitions(*self.key_columns)
-            .write.partitionBy("_bucket")
-            .parquet(out_dir, mode="overwrite")
-        )
+        if "_bucket" in df.columns:
+            keyed = df
+        else:
+            # One shuffle, partitioned by bucket so each output dir is
+            # written by the tasks owning that bucket; file count per
+            # bucket stays low.
+            keyed = (
+                df.withColumn("_bucket", bucket_expr(self.key_columns[0], self.n_buckets))
+                .repartition("_bucket")
+                .sortWithinPartitions(*self.key_columns)
+            )
+        keyed.write.partitionBy("_bucket").parquet(out_dir, mode="overwrite")
         buckets: dict[str, list[dict[str, Any]]] = {}
         for bdir in glob.glob(os.path.join(out_dir, "_bucket=*")):
             b = bdir.rsplit("=", 1)[1]
@@ -420,6 +431,7 @@ class LakeTable:
         evolve_schema: T.StructType | None = None,
         summary: dict[str, Any] | None = None,
         epoch: tuple[str, int] | None = None,
+        touched: list[int] | None = None,
     ) -> int:
         """Copy-on-write MERGE: read only the buckets ``source`` touches,
         apply ``resolve(target_subset, source) -> new_subset``, rewrite
@@ -437,13 +449,14 @@ class LakeTable:
         sid = self._ensure_schema(evolve_schema or source.schema)
         current = self._schemas[sid]
 
-        touched = self.touched_buckets(source)
+        if touched is None:
+            touched = self.touched_buckets(source)
         target_subset = align_to_schema(self.read(buckets=touched), current)
 
         resolved = resolve(target_subset, source)
-        resolved = align_to_schema(resolved, current)
+        aligned = align_to_schema(resolved, current, keep=["_bucket"])
 
-        new_buckets = self._write_data(resolved, sid)
+        new_buckets = self._write_data(aligned, sid)
         merged = {
             b: list(files)
             for b, files in self.snapshot.buckets.items()
