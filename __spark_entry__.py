@@ -666,6 +666,127 @@ def q_cdc_stream_apply(spark, sf):  # full streaming path -> final state
     return spark.createDataFrame(out, schema=schema)
 
 
+def q_csv_roundtrip(spark, sf):  # S1: csv sink+scan with pinned schema
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_framework_spark.sources import read_csv
+
+    c = _t(spark, sf, "customer")
+    tmp = tempfile.mkdtemp(prefix="entry_csv_")
+    c.write.csv(f"{tmp}/customer", header=True, mode="overwrite")
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = read_csv(spark, f"{tmp}/customer", schema=schema)
+    out = back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+    pdf = out.toPandas()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+def q_json_flatten(spark, sf):  # S3: nested JSON scan + flatten + explode
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_framework_spark.sources import flatten_json, read_json
+
+    o = _t(spark, sf, "orders").orderBy("o_orderkey").limit(2000)
+    li = _t(spark, sf, "lineitem")
+    nested = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                )
+            ).alias("lines")
+        )
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.struct(F.col("o_custkey").alias("cust")).alias("meta"),
+            "lines",
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="entry_json_")
+    nested.write.json(f"{tmp}/orders", mode="overwrite")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("meta", T.StructType([T.StructField("cust", T.LongType())])),
+            T.StructField(
+                "lines",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("ln", T.IntegerType()),
+                            T.StructField("qty", T.DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    flat = flatten_json(read_json(spark, f"{tmp}/orders", schema=schema))
+    out = flat.select(
+        "id", F.col("meta_cust").alias("cust"), "lines_ln", F.round("lines_qty", 2).alias("qty")
+    )
+    pdf = out.toPandas()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+def q_crypto_roundtrip(spark, sf):  # C1/C2: AES encrypt/decrypt, JVM-side
+    from etl_framework_spark.transforms import decrypt_columns, encrypt_columns
+
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    enc = encrypt_columns(c, ["c_name"], key="entry-key", mode="ECB")
+    dec = decrypt_columns(enc, ["c_name"], key="entry-key", mode="ECB")
+    joined = dec.alias("d").join(
+        c.alias("o"), F.col("d.c_custkey") == F.col("o.c_custkey")
+    )
+    return joined.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (F.col("d.c_name") == F.col("o.c_name")).cast("int")
+        ).alias("n_roundtrip_ok"),
+    )
+
+
+def q_clean_standardize(spark, sf):  # P2/P4: name standardization + drop-empty
+    from etl_framework_spark.transforms import drop_empty_rows, standardize_column_names
+
+    d = _t(spark, sf, "documents")
+    blank = F.col("doc_id") % 10 == 0
+    messy = d.select(
+        F.col("doc_id").alias("Doc ID"),
+        F.when(~blank, F.col("lang")).alias("  Lang-Code  "),
+        F.when(~blank, F.col("source")).alias("Source!"),
+        F.when(~blank, F.col("n_chars")).alias("N-Chars"),
+    )
+    cleaned = standardize_column_names(messy)
+    # drop rows where every non-key column is null
+    kept = drop_empty_rows(cleaned, subset=[c for c in cleaned.columns if c != "doc_id"])
+    return kept
+
+
 def q_rollup_revenue(spark, sf):  # A8: rollup (partial-agg grouping sets)
     o = _t(spark, sf, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -748,6 +869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_strings": q_sanitize_strings,
         "cdc_apply_batch": q_cdc_apply_batch,
         "cdc_stream_apply": q_cdc_stream_apply,
+        "csv_roundtrip": q_csv_roundtrip,
+        "json_flatten": q_json_flatten,
+        "crypto_roundtrip": q_crypto_roundtrip,
+        "clean_standardize": q_clean_standardize,
     }
 
 
@@ -941,6 +1066,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_apply_batch": _CDC_REPLAY_ORACLE,
         "cdc_stream_apply": _CDC_REPLAY_ORACLE,
+        "csv_roundtrip": """
+            SELECT c_mktsegment, count(*) AS n,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "json_flatten": """
+            WITH o AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2000)
+            SELECT o_orderkey AS id, o_custkey AS cust,
+                   CAST(l_linenumber AS INT) AS lines_ln,
+                   round(l_quantity, 2) AS qty
+            FROM o JOIN lineitem ON o_orderkey = l_orderkey
+        """,
+        "crypto_roundtrip": """
+            SELECT count(*) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_roundtrip_ok
+            FROM customer
+        """,
+        "clean_standardize": """
+            SELECT doc_id, lang AS lang_code, source, n_chars
+            FROM documents WHERE doc_id % 10 <> 0
+        """,
         "sanitize_strings": r"""
             WITH dirty AS (
                 SELECT doc_id,

@@ -3,7 +3,7 @@
 The north rule requires throughput scaling efficiency >= 0.8 between an
 N-executor and a 4N-executor cluster. No real cluster exists in this
 sandbox, so the evidence is the same job on the same input at
-``local[8]`` vs ``local[32]`` (each in a fresh JVM/subprocess so heap
+``local[4]`` vs ``local[16]`` (each in a fresh JVM/subprocess so heap
 and codegen caches don't leak between runs):
 
     efficiency = (throughput_4N / throughput_N) / 4
@@ -70,7 +70,7 @@ def run_once(cpus: int, log_dir: str, table_path: str, buckets: int) -> dict:
     code = _JOB.format(
         repo=str(REPO),
         cpus=cpus,
-        shuffle=max(2 * cpus, 16),
+        shuffle=4 * cpus,
         log_dir=log_dir,
         table_path=table_path,
         buckets=buckets,
@@ -133,7 +133,7 @@ def main() -> int:
         payload = {
             "n_events": n_events,
             "runs": results,
-            "speedup_8_to_32": round(speedup, 3),
+            "speedup_n_to_4n": round(speedup, 3),
             "scaling_efficiency": round(eff, 3),
             "target": 0.8,
         }
