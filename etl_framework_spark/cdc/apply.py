@@ -296,13 +296,23 @@ def apply_changes(
     if source_offsets:
         summary["source_offsets"] = source_offsets
     touched: list[int] | None = None
+    lineage_future = None
     if lineage:
-        summary["lineage"] = compute_lineage(
-            changes, table.key_columns[0], table.n_buckets
+        # Run the lineage aggregation CONCURRENTLY with the merge's own
+        # jobs (independent reads of the same immutable batch; Spark
+        # schedules jobs from separate threads in parallel). Its result
+        # is only needed at commit time — but ``touched`` is needed
+        # before the target read, so that part blocks.
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        lineage_future = _pool.submit(
+            compute_lineage, changes, table.key_columns[0], table.n_buckets
         )
-        # the lineage aggregation already named every bucket this batch
-        # touches — reuse it, saving merge() a second full scan
-        touched = [int(r["bucket"]) for r in summary["lineage"]]
+        _pool.shutdown(wait=False)
+        # zero-arg callable: _commit resolves it right before the
+        # snapshot is written, after the merge's heavy jobs finished
+        summary["lineage"] = lineage_future.result
     # Stored-shape schema implied by this batch: payload + ts + _lsn + _deleted.
     envelope = {"op", "lsn"}
     stored_fields = [f for f in changes.schema.fields if f.name not in envelope]

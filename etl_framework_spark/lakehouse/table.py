@@ -348,6 +348,10 @@ class LakeTable:
         full replacement view, so retry semantics are last-committer-wins
         per bucket — adequate for the single-writer-per-stream CDC case)."""
         meta = os.path.join(self.path, META_DIR)
+        # summary values may be zero-arg callables (e.g. a lineage job
+        # running concurrently with the data write) — resolve them now,
+        # at the last moment before the snapshot is serialized.
+        summary = {k: (v() if callable(v) else v) for k, v in summary.items()}
         for _ in range(max_retries):
             self._load_meta()
             snap = self.snapshot

@@ -66,6 +66,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # v2 commits rename task outputs task-side (parallel) instead of
+        # sequentially on the driver at job commit — measurable on
+        # many-partition dynamic writes; snapshot atomicity here comes
+        # from the LakeTable manifest, not the FS committer.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # local mode: keep the UI off and the driver quiet. JVM logs go to
         # STDERR (see log4j2.properties) so stdout stays machine-readable
         # (bench.py prints exactly one JSON line there).
