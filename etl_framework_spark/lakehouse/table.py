@@ -241,6 +241,19 @@ class LakeTable:
         per stream, so this is a complete already-applied check."""
         return int(self.snapshot.epochs.get(stream_id, -1))
 
+    def snapshot_at(self, version: int) -> Snapshot:
+        """Load a historical snapshot (time travel)."""
+        p = os.path.join(self.path, META_DIR, "v%012d.json" % version)
+        with open(p) as f:
+            s = json.load(f)
+        return Snapshot(
+            version=s["version"],
+            schema_id=s["schema_id"],
+            summary=s.get("summary", {}),
+            buckets=s.get("buckets", {}),
+            epochs=s.get("epochs", {}),
+        )
+
     # -------------------------------------------------------------- reads
     def _read_files(self, entries: list[dict[str, Any]]) -> DataFrame | None:
         """Read manifest file entries, upcasting each schema group to the
@@ -262,9 +275,14 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current snapshot as a DataFrame; optionally only some buckets."""
-        snap = self.snapshot
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot as a DataFrame; optionally only some buckets and/or a
+        historical ``version`` (time travel — old data files are never
+        mutated, only dereferenced, so any committed version stays
+        readable until GC)."""
+        snap = self.snapshot if version is None else self.snapshot_at(version)
         entries: list[dict[str, Any]] = []
         sel = None if buckets is None else {str(b) for b in buckets}
         for b, files in snap.buckets.items():
@@ -275,13 +293,53 @@ class LakeTable:
             return self.spark.createDataFrame([], self.schema)
         return df
 
-    def current(self, buckets: list[int] | None = None) -> DataFrame:
+    def current(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
         """Live rows: ``read()`` minus delete tombstones (if the table
         carries the ``_deleted`` system column)."""
-        df = self.read(buckets=buckets)
+        df = self.read(buckets=buckets, version=version)
         if "_deleted" in df.columns:
             df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df
+
+    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Row-level change feed between two committed versions (CDC-out):
+        one row per key whose state changed, with ``_change_type`` I/U/D.
+
+        Bucket-pruned: only buckets whose file lists differ between the
+        snapshots are read (copy-on-write rewrites whole buckets, so an
+        identical file list ⇒ identical content). The diff itself is a
+        full-outer join on the key within those buckets:
+        new-only ⇒ I, both-with-newer-lsn ⇒ U, old-live-but-now-gone or
+        tombstoned ⇒ D.
+        """
+        old_snap, new_snap = self.snapshot_at(v_from), self.snapshot_at(v_to)
+        changed = [
+            b
+            for b in set(old_snap.buckets) | set(new_snap.buckets)
+            if old_snap.buckets.get(b) != new_snap.buckets.get(b)
+        ]
+        changed_ids = sorted(int(b) for b in changed)
+        old = self.current(buckets=changed_ids, version=v_from)
+        new = self.current(buckets=changed_ids, version=v_to)
+        keys = self.key_columns
+        o = old.select(*keys, F.col("_lsn").alias("_old_lsn")).alias("o")
+        n = new.alias("n")
+        joined = n.join(o, on=keys, how="full_outer")
+        # _lsn is non-null for every live stored row, so side-nullness of
+        # _lsn is the presence test (tombstones were filtered by current())
+        ctype = (
+            F.when(F.col("o._old_lsn").isNull(), F.lit("I"))
+            .when(F.col("n._lsn").isNull(), F.lit("D"))
+            .when(F.col("n._lsn") != F.col("o._old_lsn"), F.lit("U"))
+        )
+        out_cols = [c for c in new.columns if c != "_deleted"]
+        return (
+            joined.withColumn("_change_type", ctype)
+            .where(F.col("_change_type").isNotNull())
+            .select(*[F.col(f"n.{c}").alias(c) if c not in keys else F.col(c) for c in out_cols], "_change_type")
+        )
 
     def compact_tombstones(self, older_than) -> int:
         """Garbage-collect tombstones whose ``ts`` predates the log's
