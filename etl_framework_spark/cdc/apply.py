@@ -313,6 +313,17 @@ def apply_changes(
         # zero-arg callable: _commit resolves it right before the
         # snapshot is written, after the merge's heavy jobs finished
         summary["lineage"] = lineage_future.result
+    # Per-commit metrics ride in the snapshot summary next to lineage
+    # (north rule: per-partition lineage + metrics). The wall clock is
+    # resolved lazily at commit time so it covers the whole apply.
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    summary["metrics"] = lambda: {
+        "apply_seconds": round(_time.perf_counter() - _t0, 3),
+        "salt_partitions": salt_partitions,
+    }
+
     # Stored-shape schema implied by this batch: payload + ts + _lsn + _deleted.
     envelope = {"op", "lsn"}
     stored_fields = [f for f in changes.schema.fields if f.name not in envelope]

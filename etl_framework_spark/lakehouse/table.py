@@ -533,6 +533,53 @@ class LakeTable:
             epoch=epoch,
         )
 
+    def file_stats(self) -> dict[str, Any]:
+        """Files-per-bucket distribution (maintenance signal)."""
+        counts = {b: len(fs) for b, fs in self.snapshot.buckets.items()}
+        return {
+            "n_buckets_with_data": len(counts),
+            "total_files": sum(counts.values()),
+            "max_files_per_bucket": max(counts.values(), default=0),
+        }
+
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        min_files: int = 2,
+        summary: dict[str, Any] | None = None,
+    ) -> int:
+        """Rewrite fragmented buckets into one sorted file set each.
+
+        APPEND-heavy usage accumulates files per bucket (every append
+        extends the bucket's file list); at scale many small files slow
+        every subsequent scan and merge. Compaction reads only buckets
+        with >= ``min_files`` files, rewrites them key-sorted, and
+        carries every other bucket forward by reference — same
+        copy-on-write shape as merge, so it can run between ingest
+        epochs without blocking readers (old snapshots stay readable).
+        """
+        snap = self.snapshot
+        frag = [
+            int(b)
+            for b, fs in snap.buckets.items()
+            if len(fs) >= min_files and (buckets is None or int(b) in set(buckets))
+        ]
+        if not frag:
+            return snap.version
+        sid = snap.schema_id
+        data = align_to_schema(self.read(buckets=frag), self._schemas[sid])
+        new_buckets = self._write_data(data, sid)
+        merged = {
+            b: list(fs) for b, fs in snap.buckets.items() if int(b) not in set(frag)
+        }
+        for b, fs in new_buckets.items():
+            merged.setdefault(b, []).extend(fs)
+        return self._commit(
+            merged,
+            sid,
+            {"operation": "compact", "buckets": frag, **(summary or {})},
+        )
+
     def delete_where(self, condition, summary: dict[str, Any] | None = None) -> int:
         """Rewrite the table without rows matching ``condition``."""
         sid = self.snapshot.schema_id

@@ -83,3 +83,31 @@ def test_changes_between_is_bucket_pruned(spark, table):
     v2 = table.refresh().version
     feed = table.changes_between(v1, v2).collect()
     assert {(r["conv_id"], r["_change_type"]) for r in feed} == {("c2", "I")}
+
+
+def test_compaction_bounds_files_and_preserves_state(spark, table):
+    from etl_framework_spark.operators import LoadStrategy, load
+
+    for i in range(4):
+        df = _changes(spark, [("I", 10 + i, i, "c1", i, f"t{i}")]).drop("op", "lsn")
+        load(spark, df.withColumn("_lsn", F.lit(10 + i).cast("long")).withColumn(
+            "_deleted", F.lit(False)), table.path, LoadStrategy.APPEND)
+    table.refresh()
+    before = table.file_stats()
+    assert before["max_files_per_bucket"] >= 2
+    state = {(r["conv_id"], r["turn_idx"], r["text"]) for r in table.current().collect()}
+    v_before = table.version
+    table.compact(min_files=2)
+    table.refresh()
+    after = table.file_stats()
+    assert after["max_files_per_bucket"] == 1
+    assert {(r["conv_id"], r["turn_idx"], r["text"]) for r in table.current().collect()} == state
+    # time travel across the compaction boundary still works
+    assert table.current(version=v_before).count() == len(state)
+
+
+def test_commit_metrics_recorded(spark, table):
+    apply_changes(table, _changes(spark, [("I", 1, 1, "c1", 0, "x")]), epoch_id=0)
+    summary = table.refresh().snapshot.summary
+    assert summary["metrics"]["apply_seconds"] > 0
+    assert summary["lineage"][0]["rows"] == 1
