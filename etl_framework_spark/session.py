@@ -25,8 +25,10 @@ def get_spark(
     """Create (or fetch) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
-    ``local[*]``. In a real deployment this is driven by spark-submit and
-    the master here is ignored; the confs below are cluster-safe.
+    ``local[*]``; pass ``master="cluster"`` to leave the master to
+    spark-submit (cluster deployments: ``spark-submit --py-files
+    etl_framework_spark.zip scripts/ingest_job.py ...``). All confs
+    below are cluster-safe.
     """
     # Driver memory MUST be set before the JVM exists — builder confs are
     # silently ignored for spark.driver.memory in an already-launched
@@ -56,9 +58,11 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    builder = SparkSession.builder.appName(app_name)
+    if master != "cluster":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
