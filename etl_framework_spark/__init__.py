@@ -16,8 +16,8 @@ append, key-based MERGE) re-expressed as idiomatic Spark:
   Structured Streaming checkpoints (``streaming``),
 - config-as-program transforms compiled to Column expressions
   (``transforms.calc_compiler``), and
-- large-scale corpus utilities (dedup, similarity search, text quality)
-  in ``textops``.
+- large-scale corpus utilities (dedup, similarity search, text quality,
+  multimodal plumbing) in ``operators``.
 
 Reference parity citations use ``reference:<path>:<lines>`` and point into
 the read-only reference checkout; the implementations here are Spark-first,
@@ -26,4 +26,11 @@ not translations.
 
 __version__ = "0.1.0"
 
+from etl_framework_spark.cdc import apply_changes, lww_dedupe  # noqa: F401
+from etl_framework_spark.lakehouse import LakeTable  # noqa: F401
+from etl_framework_spark.schemas import (  # noqa: F401
+    CHANGE_SCHEMA,
+    KEY_COLUMNS,
+    TRANSCRIPT_SCHEMA,
+)
 from etl_framework_spark.session import get_spark  # noqa: F401

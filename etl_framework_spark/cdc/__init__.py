@@ -2,6 +2,9 @@
 
 from etl_framework_spark.cdc.apply import (  # noqa: F401
     apply_changes,
+    compute_lineage,
     lww_dedupe,
     lww_dedupe_window,
+    resolve_lww,
+    resolve_lww_bucketed,
 )
