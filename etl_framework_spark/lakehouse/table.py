@@ -394,17 +394,24 @@ class LakeTable:
 
     def _commit(
         self,
-        buckets: dict[str, list[dict[str, Any]]],
+        buckets: dict[str, list[dict[str, Any]]] | None,
         schema_id: int,
         summary: dict[str, Any],
         epoch: tuple[str, int] | None = None,
         max_retries: int = 10,
+        rebase=None,
     ) -> int:
         """Atomically publish a new snapshot. Optimistic concurrency: the
         hard-link commit fails if another writer took the version; reload
-        and retry on top of their snapshot (buckets passed here must be a
-        full replacement view, so retry semantics are last-committer-wins
-        per bucket — adequate for the single-writer-per-stream CDC case)."""
+        and retry on top of their snapshot.
+
+        ``rebase(fresh_buckets) -> new_buckets`` — when given, the bucket
+        map is REBUILT against the freshly-loaded snapshot on every
+        attempt, so a concurrent writer's commits to buckets this commit
+        did not touch are preserved (writers with disjoint touched sets
+        compose; overlapping buckets are last-committer-wins). A static
+        ``buckets`` map (no rebase) replaces the whole view and is only
+        safe for single-writer tables."""
         meta = os.path.join(self.path, META_DIR)
         # summary values may be zero-arg callables (e.g. a lineage job
         # running concurrently with the data write) — resolve them now,
@@ -420,7 +427,7 @@ class LakeTable:
                 "version": snap.version + 1,
                 "schema_id": schema_id,
                 "summary": summary,
-                "buckets": buckets,
+                "buckets": rebase(snap.buckets) if rebase is not None else buckets,
                 "epochs": new_epochs,
             }
             tmp = os.path.join(meta, f".tmp-{uuid.uuid4().hex}.json")
@@ -464,11 +471,16 @@ class LakeTable:
         sid = self._ensure_schema(df.schema)
         aligned = align_to_schema(df, self._schemas[sid])
         new_buckets = self._write_data(aligned, sid)
-        merged = {k: list(v) for k, v in self.snapshot.buckets.items()}
-        for b, files in new_buckets.items():
-            merged.setdefault(b, []).extend(files)
+
+        def rebase(fresh: dict[str, list[dict[str, Any]]]):
+            merged = {k: list(v) for k, v in fresh.items()}
+            for b, files in new_buckets.items():
+                merged.setdefault(b, []).extend(files)
+            return merged
+
         return self._commit(
-            merged, sid, {"operation": "append", **(summary or {})}, epoch=epoch
+            None, sid, {"operation": "append", **(summary or {})}, epoch=epoch,
+            rebase=rebase,
         )
 
     def overwrite(
@@ -519,18 +531,24 @@ class LakeTable:
         aligned = align_to_schema(resolved, current, keep=["_bucket"])
 
         new_buckets = self._write_data(aligned, sid)
-        merged = {
-            b: list(files)
-            for b, files in self.snapshot.buckets.items()
-            if int(b) not in set(touched)
-        }
-        for b, files in new_buckets.items():
-            merged.setdefault(b, []).extend(files)
+        touched_set = set(touched)
+
+        def rebase(fresh: dict[str, list[dict[str, Any]]]):
+            merged = {
+                b: list(files)
+                for b, files in fresh.items()
+                if int(b) not in touched_set
+            }
+            for b, files in new_buckets.items():
+                merged.setdefault(b, []).extend(files)
+            return merged
+
         return self._commit(
-            merged,
+            None,
             sid,
             {"operation": "merge", "touched_buckets": touched, **(summary or {})},
             epoch=epoch,
+            rebase=rebase,
         )
 
     def file_stats(self) -> dict[str, Any]:
@@ -569,15 +587,27 @@ class LakeTable:
         sid = snap.schema_id
         data = align_to_schema(self.read(buckets=frag), self._schemas[sid])
         new_buckets = self._write_data(data, sid)
-        merged = {
-            b: list(fs) for b, fs in snap.buckets.items() if int(b) not in set(frag)
-        }
-        for b, fs in new_buckets.items():
-            merged.setdefault(b, []).extend(fs)
+        frag_set = set(frag)
+
+        def rebase(fresh: dict[str, list[dict[str, Any]]]):
+            # A concurrent merge may have REWRITTEN a fragged bucket after
+            # we read it — compacting over it would resurrect stale rows.
+            # Keep the fresh version for any bucket whose file list moved.
+            merged = {}
+            for b, fs in fresh.items():
+                if int(b) in frag_set and fs == snap.buckets.get(b):
+                    continue  # safe to replace with compacted files
+                merged[b] = list(fs)
+            for b, fs in new_buckets.items():
+                if b not in merged:
+                    merged.setdefault(b, []).extend(fs)
+            return merged
+
         return self._commit(
-            merged,
+            None,
             sid,
             {"operation": "compact", "buckets": frag, **(summary or {})},
+            rebase=rebase,
         )
 
     def delete_where(self, condition, summary: dict[str, Any] | None = None) -> int:

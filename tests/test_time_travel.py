@@ -111,3 +111,23 @@ def test_commit_metrics_recorded(spark, table):
     summary = table.refresh().snapshot.summary
     assert summary["metrics"]["apply_seconds"] > 0
     assert summary["lineage"][0]["rows"] == 1
+
+
+def test_concurrent_disjoint_writers_compose(spark, table):
+    """Two writers racing on DISJOINT keys: the loser of the version race
+    must rebase onto the winner's snapshot, preserving its buckets
+    (regression: a stale full-replacement commit silently dropped the
+    winner's files)."""
+    # both handles start at the same version
+    t_a = LakeTable(spark, table.path)
+    t_b = LakeTable(spark, table.path)
+    apply_changes(t_a, _changes(spark, [("I", 1, 1, "conv-A", 0, "from-A")]),
+                  stream_id="a", epoch_id=0)
+    # t_b still holds the pre-A snapshot; its commit attempt collides and
+    # must retry+rebase on top of A's version
+    apply_changes(t_b, _changes(spark, [("I", 2, 2, "conv-B", 0, "from-B")]),
+                  stream_id="b", epoch_id=0)
+    table.refresh()
+    rows = {r["conv_id"]: r["text"] for r in table.current().collect()}
+    assert rows == {"conv-A": "from-A", "conv-B": "from-B"}
+    assert table.last_epoch("a") == 0 and table.last_epoch("b") == 0
