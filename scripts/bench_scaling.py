@@ -16,7 +16,8 @@ cluster schedules executors of 2-8 cores each with private memory
 systems, i.e. inside the flat region; the N vs 4N *executor* criterion
 maps to the 2->8 pairing here (one 2-core executor vs four).
 
-Writes BENCH/BASELINE.md (human) + BENCH/scaling.json (machine).
+Writes BENCH/BASELINE_rerun.md + BENCH/scaling_rerun.json (the curated
+analysis of the recorded run lives in BENCH/BASELINE.md / scaling.json).
 
 Usage: python scripts/bench_scaling.py [n_events] [widths...]
 """
@@ -136,7 +137,7 @@ def main() -> int:
             "scaling_efficiency": pairs.get("2->8"),
             "target": 0.8,
         }
-        (bench_dir / "scaling.json").write_text(json.dumps(payload, indent=2))
+        (bench_dir / "scaling_rerun.json").write_text(json.dumps(payload, indent=2))
 
         lines = [
             "# BENCH / scaling baseline",
@@ -193,7 +194,8 @@ def main() -> int:
             "hot bucket across tasks (no straggler tail; see",
             "cdc/apply.py::resolve_lww_bucketed).",
         ]
-        (bench_dir / "BASELINE.md").write_text("\n".join(lines) + "\n")
+        # curated analysis lives in BENCH/BASELINE.md; reruns land beside it
+        (bench_dir / "BASELINE_rerun.md").write_text("\n".join(lines) + "\n")
         print(json.dumps(payload))
         return 0
     finally:
