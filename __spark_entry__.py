@@ -787,6 +787,40 @@ def q_clean_standardize(spark, sf):  # P2/P4: name standardization + drop-empty
     return kept
 
 
+def q_asof_join(spark, sf):  # J6: event-time as-of join (single-exchange)
+    from etl_framework_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    # dedupe right side per (user, ts) so the as-of pick is deterministic
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("click_id").alias("last_click_id"),
+        F.col("ts_r").alias("last_click_ts"),
+    )
+
+
+def q_percentiles(spark, sf):  # A-family: exact percentiles per group
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
 def q_rollup_revenue(spark, sf):  # A8: rollup (partial-agg grouping sets)
     o = _t(spark, sf, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -869,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_strings": q_sanitize_strings,
         "cdc_apply_batch": q_cdc_apply_batch,
         "cdc_stream_apply": q_cdc_stream_apply,
+        "asof_join": q_asof_join,
+        "percentiles": q_percentiles,
         "csv_roundtrip": q_csv_roundtrip,
         "json_flatten": q_json_flatten,
         "crypto_roundtrip": q_crypto_roundtrip,
@@ -1066,6 +1102,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_apply_batch": _CDC_REPLAY_ORACLE,
         "cdc_stream_apply": _CDC_REPLAY_ORACLE,
+        "asof_join": """
+            WITH p AS (
+                SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts, max(event_id) AS click_id
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.user_id, p.event_id, p.ts,
+                   c.click_id AS last_click_id, c.ts AS last_click_ts
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+                   round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+            FROM orders GROUP BY o_orderpriority
+        """,
         "csv_roundtrip": """
             SELECT c_mktsegment, count(*) AS n,
                    round(sum(c_acctbal), 2) AS total_bal

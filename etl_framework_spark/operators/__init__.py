@@ -28,3 +28,4 @@ from etl_framework_spark.operators.text import (  # noqa: F401
     quality_features,
     token_count,
 )
+from etl_framework_spark.operators.asof import asof_join  # noqa: F401

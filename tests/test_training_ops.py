@@ -200,3 +200,40 @@ def test_frame_sampling_counts_match_duration(spark):
         assert meta["media_type"] == "video"
         expect = len(range(0, meta["duration_ms"], 5000))
         assert row["count"] == expect
+
+
+def test_asof_join_backward_and_forward(spark):
+    from etl_framework_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 1, 100.0), ("A", 5, 101.0), ("A", 9, 99.0), ("B", 3, 50.0)],
+        "sym string, t long, px double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 0, 99.5), ("A", 4, 100.5), ("A", 5, 100.7), ("B", 10, 49.0)],
+        "sym string, t long, bid double",
+    )
+    back = {(r["sym"], r["t"]): (r["bid"], r["t_r"]) for r in asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t").collect()}
+    # latest quote at-or-before each trade; equal ts is visible
+    assert back[("A", 1)] == (99.5, 0)
+    assert back[("A", 5)] == (100.7, 5)
+    assert back[("A", 9)] == (100.7, 5)
+    assert back[("B", 3)] == (None, None)
+    fwd = {(r["sym"], r["t"]): r["t_r"] for r in asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        direction="forward").collect()}
+    assert fwd[("A", 1)] == 4 and fwd[("A", 9)] is None and fwd[("B", 3)] == 10
+
+
+def test_asof_join_null_right_field_stays_row_atomic(spark):
+    from etl_framework_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("K", 10)], "k string, t long")
+    right = spark.createDataFrame(
+        [("K", 1, "old"), ("K", 5, None)], "k string, t long, v string"
+    )
+    # nearest right row (t=5) has v=NULL; the join must NOT splice v from
+    # the older row — the whole right row is carried atomically
+    r = asof_join(left, right, on=["k"], left_ts="t", right_ts="t").head()
+    assert r["t_r"] == 5 and r["v"] is None
