@@ -442,7 +442,8 @@ def q_calc_program(spark, sf):  # §2.8 formula engine on orders
 _MINHASH_K = 16
 _LSH_BANDS = 4
 _LSH_ROWS = 4
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 60  # full 15-hex-char token-hash entropy, sign-safe in SQL
+_SIMHASH_MAXHAM = 3
 
 
 def q_minhash_lsh_pairs(spark, sf):  # MinHash+LSH near-dup candidates
@@ -461,19 +462,21 @@ def q_ngram_jaccard(spark, sf):  # exact n-gram Jaccard pairs
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_simhash(spark, sf):  # per-doc 16-bit SimHash
+def q_simhash(spark, sf):  # per-doc 60-bit SimHash
     from etl_framework_spark.operators import simhash64
 
     d = _t(spark, sf, "documents")
     return simhash64(d, bits=_SIMHASH_BITS)
 
 
-def q_simhash_near_pairs(spark, sf):  # blocked Hamming<=3 pairs
+def q_simhash_near_pairs(spark, sf):  # multi-block Hamming<=3 pairs (full recall)
     from etl_framework_spark.operators import simhash64, simhash_near_pairs
 
     d = _t(spark, sf, "documents")
     return simhash_near_pairs(
-        simhash64(d, bits=_SIMHASH_BITS), max_hamming=3, bits=_SIMHASH_BITS
+        simhash64(d, bits=_SIMHASH_BITS),
+        max_hamming=_SIMHASH_MAXHAM,
+        bits=_SIMHASH_BITS,
     )
 
 
@@ -960,6 +963,29 @@ def _simhash_sql(bits: int = 16) -> str:
     """
 
 
+def _simhash_near_pairs_sql(bits: int, max_hamming: int) -> str:
+    """Replicates the Charikar multi-block candidate scheme: one
+    (block_idx, block_value) row per block (UNION ALL — block boundaries
+    shared with the Spark side via ``simhash_blocks``), join on block
+    equality, exact popcount confirm. 60-bit hashes are sign-free so
+    ``//`` and ``%`` replay the shifts exactly."""
+    from etl_framework_spark.operators.dedup import simhash_blocks
+
+    blk = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS blk, "
+        f"(simhash // {1 << off}) % {1 << w} AS bv FROM s"
+        for i, (off, w) in enumerate(simhash_blocks(bits, max_hamming))
+    )
+    return rf"""
+        WITH s AS ({_simhash_sql(bits)}), blk AS ({blk})
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+        FROM blk l JOIN blk r
+          ON l.blk = r.blk AND l.bv = r.bv AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+    """
+
+
 def _lang_id_sql() -> str:
     from etl_framework_spark.operators.text import STOPWORDS
 
@@ -1025,15 +1051,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
         """,
         "simhash": _simhash_sql(_SIMHASH_BITS),
-        "simhash_near_pairs": rf"""
-            WITH s AS ({_simhash_sql(_SIMHASH_BITS)})
-            SELECT l.doc_id AS a, r.doc_id AS b,
-                   CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
-            FROM s l JOIN s r
-              ON (l.simhash // {1 << (_SIMHASH_BITS // 2)}) = (r.simhash // {1 << (_SIMHASH_BITS // 2)})
-             AND l.doc_id < r.doc_id
-            WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
-        """,
+        "simhash_near_pairs": _simhash_near_pairs_sql(_SIMHASH_BITS, _SIMHASH_MAXHAM),
         "embedding_near_dup": """
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -233,13 +233,20 @@ def resolve_lww_bucketed(
     )  # _ksalt dropped; files per bucket = #salt groups that saw rows
 
 
-def compute_lineage(changes: DataFrame, key_col: str, n_buckets: int) -> list[dict]:
+def compute_lineage(
+    changes: DataFrame, key_col: str, n_buckets: int, key_type=None
+) -> list[dict]:
     """Per-bucket lineage rows: row counts + applied LSN ranges (north
     rule; reference analog
     reference:src/etl_framework/security/audit_logger.py:100-146).
-    Small result (<= n_buckets rows) — safe to collect."""
+    Small result (<= n_buckets rows) — safe to collect.
+
+    ``key_type``: the table's key dtype; the source key is cast before
+    hashing so lineage bucket ids match the table's layout even for a
+    narrower-typed batch (xxhash64 is type-sensitive)."""
+    kcol = F.col(key_col).cast(key_type) if key_type is not None else F.col(key_col)
     rows = (
-        changes.groupBy(bucket_expr(key_col, n_buckets).alias("bucket"))
+        changes.groupBy(bucket_expr(kcol, n_buckets).alias("bucket"))
         .agg(
             F.count("*").alias("rows"),
             F.min("lsn").alias("min_lsn"),
@@ -295,24 +302,43 @@ def apply_changes(
     summary: dict = {"stream_id": stream_id}
     if source_offsets:
         summary["source_offsets"] = source_offsets
-    touched: list[int] | None = None
-    lineage_future = None
     if lineage:
         # Run the lineage aggregation CONCURRENTLY with the merge's own
         # jobs (independent reads of the same immutable batch; Spark
         # schedules jobs from separate threads in parallel). Its result
-        # is only needed at commit time — but ``touched`` is needed
-        # before the target read, so that part blocks.
-        from concurrent.futures import ThreadPoolExecutor
+        # is only needed at commit time, so nothing blocks on it here.
+        # Daemon thread: if the merge raises before commit, the orphaned
+        # (small) lineage job can't keep the process alive.
+        import threading
 
-        _pool = ThreadPoolExecutor(max_workers=1)
-        lineage_future = _pool.submit(
-            compute_lineage, changes, table.key_columns[0], table.n_buckets
-        )
-        _pool.shutdown(wait=False)
+        key = table.key_columns[0]
+        key_type = table.schema[key].dataType if key in {
+            f.name for f in table.schema.fields
+        } else None
+        _res: dict = {}
+        _done = threading.Event()
+
+        def _lineage_job():
+            try:
+                _res["v"] = compute_lineage(
+                    changes, key, table.n_buckets, key_type=key_type
+                )
+            except Exception as e:  # surfaced at commit time
+                _res["e"] = e
+            finally:
+                _done.set()
+
+        threading.Thread(target=_lineage_job, daemon=True).start()
+
+        def _lineage_result():
+            _done.wait()
+            if "e" in _res:
+                raise _res["e"]
+            return _res["v"]
+
         # zero-arg callable: _commit resolves it right before the
         # snapshot is written, after the merge's heavy jobs finished
-        summary["lineage"] = lineage_future.result
+        summary["lineage"] = _lineage_result
     # Per-commit metrics ride in the snapshot summary next to lineage
     # (north rule: per-partition lineage + metrics). The wall clock is
     # resolved lazily at commit time so it covers the whole apply.
@@ -340,5 +366,4 @@ def apply_changes(
         evolve_schema=stored_schema,
         summary=summary,
         epoch=(stream_id, epoch_id) if epoch_id is not None else None,
-        touched=touched,
     )

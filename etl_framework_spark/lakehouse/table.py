@@ -59,10 +59,23 @@ class SchemaEvolutionError(ValueError):
     """Incoming batch schema cannot be merged into the table schema."""
 
 
-def bucket_expr(key_col: str, n_buckets: int):
+class CommitConflict(RuntimeError):
+    """A concurrent writer rewrote a bucket this commit also rewrote.
+
+    Raised instead of silently publishing a stale view: the caller can
+    re-read and retry the whole operation against the new snapshot."""
+
+
+def bucket_expr(key, n_buckets: int):
     """The canonical row->bucket function. Pure, so any reader can
-    recompute bucket membership without consulting file paths."""
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    recompute bucket membership without consulting file paths.
+
+    ``key`` may be a column name or a Column. Spark's ``xxhash64`` is
+    TYPE-sensitive (int and long hash differently), so callers hashing a
+    source batch must cast the key to the table's key type first — see
+    ``LakeTable.touched_buckets``."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
 def merge_schemas(current: T.StructType, incoming: T.StructType) -> tuple[T.StructType, bool]:
@@ -351,9 +364,19 @@ class LakeTable:
         )
 
     def touched_buckets(self, source: DataFrame) -> list[int]:
-        """Buckets a source batch lands in (small: <= n_buckets rows)."""
+        """Buckets a source batch lands in (small: <= n_buckets rows).
+
+        The source key is CAST to the table's key type before hashing:
+        xxhash64 is type-sensitive, so an int batch merged into a
+        long-keyed table (which ``merge_schemas`` permits) would
+        otherwise compute a wrong touched set and leave stale row
+        versions alive in the real bucket."""
+        key = self.key_columns[0]
+        ktype = self.schema[key].dataType
         rows = (
-            source.select(bucket_expr(self.key_columns[0], self.n_buckets).alias("b"))
+            source.select(
+                bucket_expr(F.col(key).cast(ktype), self.n_buckets).alias("b")
+            )
             .distinct()
             .collect()
         )
@@ -449,6 +472,23 @@ class LakeTable:
         merged, changed = merge_schemas(self.schema, incoming)
         if not changed:
             return self.snapshot.schema_id
+        # The BUCKET key column (key_columns[0], the only hash input) may
+        # never change type: xxhash64 is type-sensitive, so widening it
+        # would silently split each key's rows across two buckets (old
+        # writes hashed narrow, new writes hashed wide). Other key
+        # columns may widen freely (they only join sorts/windows, which
+        # cast), and narrower *batches* are fine — upcast before
+        # hashing/writing.
+        k = self.key_columns[0] if self.key_columns else None
+        if k is not None:
+            cur = {f.name: f.dataType for f in self.schema.fields}
+            new = {f.name: f.dataType for f in merged.fields}
+            if k in cur and new.get(k) != cur[k]:
+                raise SchemaEvolutionError(
+                    f"key column {k!r} cannot change type "
+                    f"({cur[k].simpleString()} -> {new[k].simpleString()}): "
+                    "bucket hashing is type-sensitive"
+                )
         new_id = max(self._schemas) + 1
         self._schemas[new_id] = merged
         meta = os.path.join(self.path, META_DIR)
@@ -592,15 +632,20 @@ class LakeTable:
         def rebase(fresh: dict[str, list[dict[str, Any]]]):
             # A concurrent merge may have REWRITTEN a fragged bucket after
             # we read it — compacting over it would resurrect stale rows.
-            # Keep the fresh version for any bucket whose file list moved.
+            # Keep the fresh version for any bucket whose file list moved,
+            # and publish compacted files ONLY for buckets proven
+            # unchanged (a bucket deleted concurrently must stay deleted,
+            # not be re-added from pre-delete compacted data).
             merged = {}
+            safe = set()
             for b, fs in fresh.items():
                 if int(b) in frag_set and fs == snap.buckets.get(b):
-                    continue  # safe to replace with compacted files
+                    safe.add(b)
+                    continue  # replace with compacted files below
                 merged[b] = list(fs)
             for b, fs in new_buckets.items():
-                if b not in merged:
-                    merged.setdefault(b, []).extend(fs)
+                if b in safe:
+                    merged[b] = list(fs)
             return merged
 
         return self._commit(
@@ -611,8 +656,58 @@ class LakeTable:
         )
 
     def delete_where(self, condition, summary: dict[str, Any] | None = None) -> int:
-        """Rewrite the table without rows matching ``condition``."""
-        sid = self.snapshot.schema_id
-        kept = self.read().where(~condition)
+        """Delete rows matching ``condition``, rewriting ONLY the buckets
+        that contain matching rows.
+
+        Two passes, both delta-proportional at scale:
+
+        1. a column-pruned scan (key + condition columns only) finds the
+           bucket ids with matches — GC'ing a handful of tombstones in a
+           100 TB table reads two columns and rewrites a few buckets, not
+           the table;
+        2. those buckets are re-read in full, filtered, and rewritten;
+           every other bucket is carried forward by reference at commit.
+
+        Concurrency: the rebase carries forward a concurrent writer's
+        commits to untouched buckets; if a TOUCHED bucket's file list
+        moved between our read and the commit, ``CommitConflict`` is
+        raised (failing loudly beats publishing a pre-read view that
+        would drop the other writer's files)."""
+        snap = self.snapshot
+        sid = snap.schema_id
+        key = self.key_columns[0]
+        kcol = F.col(key).cast(self.schema[key].dataType)
+        hit = (
+            self.read()
+            .where(condition)
+            .select(bucket_expr(kcol, self.n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        touched = sorted(r["b"] for r in hit)
+        if not touched:
+            return snap.version
+        read_view = {str(b): list(snap.buckets.get(str(b), [])) for b in touched}
+        kept = self.read(buckets=touched).where(~condition)
         new_buckets = self._write_data(kept, sid)
-        return self._commit(new_buckets, sid, {"operation": "delete", **(summary or {})})
+        touched_set = set(read_view)
+
+        def rebase(fresh: dict[str, list[dict[str, Any]]]):
+            for b in touched_set:
+                if fresh.get(b, []) != read_view[b]:
+                    raise CommitConflict(
+                        f"bucket {b} rewritten concurrently during delete_where"
+                    )
+            merged = {
+                b: list(fs) for b, fs in fresh.items() if b not in touched_set
+            }
+            for b, fs in new_buckets.items():
+                merged.setdefault(b, []).extend(fs)
+            return merged
+
+        return self._commit(
+            None,
+            sid,
+            {"operation": "delete", "touched_buckets": touched, **(summary or {})},
+            rebase=rebase,
+        )

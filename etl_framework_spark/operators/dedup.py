@@ -127,11 +127,17 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs (a < b) from banded MinHash signatures.
 
-    One shuffle on (band, band_hash); a self-join inside each bucket
-    emits pairs. Buckets larger than ``max_bucket`` are dropped — at web
-    scale a degenerate bucket (empty docs, boilerplate) would emit
-    O(n^2) pairs and dominate the stage; candidates lost this way are
-    boilerplate by construction.
+    Shuffles on (band, band_hash); buckets larger than ``max_bucket``
+    are dropped — at web scale a degenerate bucket (empty docs,
+    boilerplate) would emit O(n^2) pairs and dominate the stage;
+    candidates lost this way are boilerplate by construction.
+
+    The size guard runs BEFORE any bucket is materialized: a cheap
+    count aggregation (map-side combinable, output ~ |buckets|) feeds a
+    semi-join that drops oversized buckets, and only then does
+    ``collect_list`` gather ids. Guarding after the collect would bound
+    the pair blow-up but not the agg buffer — one degenerate bucket
+    with 10^7 ids would OOM the aggregation at corpus scale.
     """
     assert bands * rows_per_band <= 256
     band = F.explode(
@@ -156,10 +162,18 @@ def lsh_candidate_pairs(
     buckets = sigs.select(F.col(id_col).alias("id"), band.alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    grouped = buckets.groupBy("band", "bh").agg(F.collect_list("id").alias("ids"))
-    bounded = grouped.where(
-        (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
-    ).select(F.array_sort("ids").alias("ids"))
+    eligible = (
+        buckets.groupBy("band", "bh")
+        .agg(F.count("*").alias("_n"))
+        .where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .drop("_n")
+    )
+    bounded = (
+        buckets.join(eligible, ["band", "bh"], "left_semi")
+        .groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .select("ids")
+    )
     pairs = bounded.select(
         F.explode(
             F.flatten(
@@ -191,12 +205,24 @@ def ngram_jaccard_pairs(
 
     Plan: explode distinct shingles, self-join on shingle (one shuffle,
     partial-agg'd), count common, then |A u B| = |A| + |B| - common.
-    ``candidates`` (from LSH) restricts the join to candidate pairs —
-    the 100 TB path; without it this is exact all-pairs (test scale).
+    ``candidates`` (from LSH) is pushed down to BOTH sides of the
+    self-join — the exploded shingles are semi-joined against the
+    distinct candidate ids BEFORE the expensive join, so the O(pairs)
+    blow-up only ever sees candidate documents (the 100 TB path); a
+    final pair-level semi-join then drops co-candidate ids whose
+    specific (a, b) pair was not an LSH candidate. Without
+    ``candidates`` this is exact all-pairs (test scale only).
     """
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, shingle_n)).alias("s")
     )
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("a").alias("id"))
+            .union(candidates.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, "id", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("l"), sh.alias("r")
     common = (
@@ -226,18 +252,21 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:
     """(id, simhash) — ``bits``-bit SimHash over whitespace tokens.
 
-    Per-token hash = first 16 md5 hex chars as int64 (SQL-replayable).
+    Per-token hash = first 15 md5 hex chars as int64 (SQL-replayable).
     For bit k: sum over tokens of (+1 if bit set else -1); simhash bit k
     = sign. Implemented as one aggregate over an array of per-bit votes
     (aggregate/zip_with) — stays in codegen, zero UDFs.
 
-    16 bits (default) keeps the oracle cheap; production would use 64
-    (same expression, bits=64).
+    Default 60 bits: the full entropy of the 15-hex-char token hash,
+    and — unlike 64 — sign-bit-free, so every shift/divide replays
+    identically in ANSI SQL engines with signed-only integers (the
+    collision math is within 6% of 64-bit). ``bits`` <= 60.
     """
+    assert bits <= 60, "token hash carries 60 bits (15 md5 hex chars)"
     toks = tokens_expr(text_col)
     # hash every token ONCE (md5 is the expensive part), then vote per
     # bit over the hash array. Bit masks are Python-int literals so the
@@ -262,34 +291,73 @@ def simhash64(
     return with_h.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_near_pairs(
-    hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 16
-) -> DataFrame:
-    """Pairs (a < b) with Hamming distance <= max_hamming.
+def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) of the ``max_hamming + 1`` disjoint bit blocks
+    covering ``bits`` (widths differ by at most 1). Shared with the
+    oracle SQL generator so both sides block identically."""
+    nblocks = max_hamming + 1
+    widths = [bits // nblocks] * nblocks
+    for i in range(bits % nblocks):
+        widths[i] += 1
+    out, off = [], 0
+    for w in widths:
+        out.append((off, w))
+        off += w
+    return out
 
-    Scale path: block on the high half of the hash (near-dups almost
-    always share it when max_hamming << bits/2 — the standard
-    Charikar-style banding), pair within blocks, then exact popcount
-    filter. One shuffle on the block key.
+
+def simhash_near_pairs(
+    hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 60
+) -> DataFrame:
+    """Pairs (a < b) with Hamming distance <= max_hamming — COMPLETE
+    recall by construction.
+
+    Charikar multi-block scheme: the hash is split into
+    ``max_hamming + 1`` disjoint blocks; by pigeonhole, any pair within
+    ``max_hamming`` differing bits agrees EXACTLY on at least one block.
+    Each row explodes into one (block_idx, block_value) key per block;
+    a self-join on that key proposes candidates, and an exact
+    ``bit_count(xor)`` filter confirms. One shuffle on the block key;
+    join fan-out per value is bounded the same way any LSH band is.
+    (The single-high-half variant both missed pairs whose differing
+    bits fell in the high half and degenerated to <= 2^(bits/2)
+    blocks at scale — this replaces it.)
     """
-    half = bits // 2
-    blocked = hashes.select(
-        F.col(id_col).alias("id"),
-        F.col("simhash"),
-        F.shiftright("simhash", half).alias("block"),
+    blocks = simhash_blocks(bits, max_hamming)
+    blk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("bv"),
+            )
+            for i, (off, w) in enumerate(blocks)
+        ]
     )
-    l, r = blocked.alias("l"), blocked.alias("r")
-    pairs = l.join(
-        r, (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id"))
+    b = hashes.select(
+        F.col(id_col).alias("id"), F.col("simhash"), F.explode(blk_arr).alias("b")
+    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("_ha"),
+            F.col("r.simhash").alias("_hb"),
+        )
+        .distinct()  # a pair may match on several blocks
     )
-    xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-    hamming = sum(
-        [F.shiftright(xor, k).bitwiseAND(F.lit(1)).cast("int") for k in range(bits)],
-        F.lit(0),
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
+    return pairs.select("a", "b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
     )
-    return pairs.select(
-        F.col("l.id").alias("a"), F.col("r.id").alias("b"), hamming.alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------

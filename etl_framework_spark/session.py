@@ -47,12 +47,38 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
 
-    # Shuffle/spill dirs: a RAM-backed dir when one exists. Local disks
-    # here are slow virtio; measured ~3x end-to-end on the CDC apply.
-    # On a real cluster this is the NVMe scratch ops configures.
+    # Python workers (pandas UDFs / applyInPandas) import this package by
+    # reference; make sure they can resolve it even when the driver
+    # script runs from another directory. Local mode: workers inherit
+    # the driver env, so extending PYTHONPATH suffices. Cluster mode:
+    # ship the package with ``spark-submit --py-files`` instead.
+    if master.startswith("local"):
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if pkg_parent not in parts:
+            os.environ["PYTHONPATH"] = os.pathsep.join(
+                [pkg_parent] + [p for p in parts if p]
+            )
+
+    # Shuffle/spill dirs: a RAM-backed dir for LOCAL masters only (on a
+    # real cluster spark.local.dir is the NVMe scratch ops configures —
+    # /dev/shm is capped at ~half of RAM, so defaulting to it there would
+    # fail any spill larger than that). Local virtio disks here are slow;
+    # measured ~3x end-to-end on the CDC apply. Explicit opt-in anywhere
+    # via SPARK_GRAFT_LOCAL_DIR. The size gate skips tiny tmpfs mounts.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/spark_local"
+    if local_dir is None and master.startswith("local"):
+        try:
+            import shutil
+
+            if (
+                os.path.isdir("/dev/shm")
+                and os.access("/dev/shm", os.W_OK)
+                and shutil.disk_usage("/dev/shm").total >= 8 << 30
+            ):
+                local_dir = "/dev/shm/spark_local"
+        except OSError:
+            pass
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)

@@ -237,3 +237,61 @@ def test_asof_join_null_right_field_stays_row_atomic(spark):
     # the older row — the whole right row is carried atomically
     r = asof_join(left, right, on=["k"], left_ts="t", right_ts="t").head()
     assert r["t_r"] == 5 and r["v"] is None
+
+
+def test_lsh_degenerate_bucket_bounded_before_collect(spark):
+    """A degenerate bucket (10^5 identical docs) must be dropped by the
+    pre-aggregated size guard BEFORE collect_list materializes it —
+    completing quickly with zero pairs rather than buffering 10^5 ids."""
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate text repeated on every single page").alias("text"),
+    )
+    sigs = minhash_signatures(df, num_hashes=4)
+    out = lsh_candidate_pairs(sigs, bands=2, rows_per_band=2, max_bucket=50)
+    assert out.count() == 0
+
+
+def test_simhash_multiblock_full_recall(spark):
+    """Multi-block candidates must be COMPLETE for hamming <= max_hamming
+    — including pairs whose differing bits all sit in the high half (the
+    recall hole of the old single-high-half blocking)."""
+    import itertools
+
+    h0 = 0x0123456789ABCDE
+    rows = [
+        (0, h0),
+        (1, h0 ^ (1 << 58)),              # 1 high bit — old scheme missed this
+        (2, h0 ^ 0b111),                  # 3 low bits
+        (3, h0 ^ (1 << 59) ^ 1),          # split high+low
+        (4, h0 ^ 0x3FF),                  # hamming 10 from h0: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(df, max_hamming=3, bits=60).collect()
+    }
+    exact = {
+        (i, j): bin(a ^ b).count("1")
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if bin(a ^ b).count("1") <= 3
+    }
+    assert got == exact
+    assert (0, 1) in got
+
+
+def test_ngram_jaccard_candidate_pushdown_matches_unrestricted(spark, docs):
+    """With a candidate set, results must equal the unrestricted run
+    filtered to those pairs (the semi-join moved before the self-join
+    must not change semantics)."""
+    cands = spark.createDataFrame([(0, 2)], "a long, b long")
+    full = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    restricted = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.1, candidates=cands).collect()
+    }
+    assert restricted == {(0, 2): full[(0, 2)]}
