@@ -861,6 +861,117 @@ def q_sanitize_strings(spark, sf):  # C4: control-char/script-tag strip
     )
 
 
+def q_pipeline_end_to_end(spark, sf):  # Pipeline API: extract->transform->load x2
+    """The orchestration front door (reference core/pipeline.py:75-246):
+    batch 1 loads all orders with one computed column; batch 2 UPSERTs a
+    recomputed subset (o_orderkey % 10 == 0). Final table state proves
+    registry dispatch, transformer chaining, strategy-driven load, and
+    keyed upsert composition end to end."""
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.lakehouse import LakeTable
+    from etl_framework_spark.pipeline import (
+        DataFrameExtractor,
+        LakeLoader,
+        MappingTransformer,
+        Pipeline,
+    )
+
+    o = _t(spark, sf, "orders")
+    tmp = tempfile.mkdtemp(prefix="entry_pipe_")
+    try:
+        pipe = Pipeline(spark, username="admin", enable_security=True)
+        pipe.register_extractor("mem", DataFrameExtractor())
+        pipe.add_transformer(
+            MappingTransformer(
+                {
+                    "calculations": [
+                        {"name": "gross", "formula": "floor(o_totalprice * 0.5 * 100 + 0.5) / 100"}
+                    ]
+                }
+            )
+        )
+        pipe.register_loader("lake", LakeLoader(spark, n_buckets=8))
+        base = o.select("o_orderkey", "o_custkey", "o_totalprice")
+        pipe.run("mem", base, "lake", f"{tmp}/t", strategy="replace",
+                 key_columns=["o_orderkey"])
+        # batch 2: recompute the calc for 10% of keys, upsert them
+        pipe.transformers.clear()
+        pipe.add_transformer(
+            MappingTransformer(
+                {
+                    "calculations": [
+                        {"name": "gross", "formula": "floor(o_totalprice * 0.9 * 100 + 0.5) / 100"}
+                    ]
+                }
+            )
+        )
+        pipe.run(
+            "mem",
+            base.where(F.col("o_orderkey") % 10 == 0),
+            "lake",
+            f"{tmp}/t",
+            strategy="upsert",
+            key_columns=["o_orderkey"],
+        )
+        out = LakeTable(spark, f"{tmp}/t").current().select(
+            "o_orderkey", "o_custkey", "gross"
+        )
+        schema, pdf = out.schema, out.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def q_grouped_session_stats(spark, sf):  # §2.11 grouped-apply (applyInPandas)
+    from etl_framework_spark.operators.grouped import user_session_stats
+
+    ev = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = user_session_stats(ev)
+    return out.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round("max_gap_seconds", 3).alias("max_gap_seconds"),
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+def _events_as_transcripts(spark, sf) -> DataFrame:
+    """Deterministic transcript projection of events for the validator:
+    turn_idx = per-user event rank; every 13th event then DROPPED so
+    some conversations have missing turns (valid=false cases)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    tr = ev.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        "ts",
+        "event_id",
+    )
+    return tr.where(F.col("event_id") % 13 != 0).drop("event_id")
+
+
+def q_conversation_validate(spark, sf):  # §2.11 per-conversation validation
+    from etl_framework_spark.operators.grouped import validate_conversation_turns
+
+    tr = _events_as_transcripts(spark, sf)
+    out = validate_conversation_turns(tr)
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "n_missing",
+        "n_dup_turns",
+        "role_repeats",
+        F.round("max_gap_seconds", 3).alias("max_gap_seconds"),
+        "valid",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_project": q_filter_project,
@@ -912,6 +1023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_flatten": q_json_flatten,
         "crypto_roundtrip": q_crypto_roundtrip,
         "clean_standardize": q_clean_standardize,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
+        "grouped_session_stats": q_grouped_session_stats,
+        "conversation_validate": q_conversation_validate,
     }
 
 
@@ -1159,6 +1273,58 @@ def oracle_sql() -> dict[str, str]:
         "clean_standardize": """
             SELECT doc_id, lang AS lang_code, source, n_chars
             FROM documents WHERE doc_id % 10 <> 0
+        """,
+        "pipeline_end_to_end": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 = 0
+                        THEN floor(o_totalprice * 0.9 * 100 + 0.5) / 100
+                        ELSE floor(o_totalprice * 0.5 * 100 + 0.5) / 100 END AS gross
+            FROM orders
+        """,
+        "grouped_session_stats": """
+            WITH g AS (
+                SELECT user_id, event_type, value,
+                       epoch(ts - lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS INT) AS n_events,
+                   CAST(count(DISTINCT event_type) AS INT) AS n_types,
+                   round(coalesce(max(gap), 0.0), 3) AS max_gap_seconds,
+                   round(sum(value), 2) AS total_value
+            FROM g GROUP BY user_id
+        """,
+        "conversation_validate": """
+            WITH tr0 AS (
+                SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id) - 1 AS INT)
+                           AS turn_idx,
+                       event_type AS role, ts, event_id
+                FROM events
+            ), tr AS (
+                SELECT conv_id, turn_idx, role, ts
+                FROM tr0 WHERE event_id % 13 <> 0
+            ), w AS (
+                SELECT conv_id, turn_idx, role, ts,
+                       lag(role) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+                       epoch(ts - lag(ts) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx)) AS gap
+                FROM tr
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS INT) AS n_turns,
+                   CAST(max(turn_idx) + 1 - count(DISTINCT turn_idx) AS INT)
+                       AS n_missing,
+                   CAST(count(*) - count(DISTINCT turn_idx) AS INT) AS n_dup_turns,
+                   CAST(coalesce(sum(CASE WHEN role = prev_role THEN 1 END), 0)
+                       AS INT) AS role_repeats,
+                   round(coalesce(max(gap), 0.0), 3) AS max_gap_seconds,
+                   (count(*) = count(DISTINCT turn_idx)
+                    AND max(turn_idx) + 1 = count(DISTINCT turn_idx)) AS valid
+            FROM w GROUP BY conv_id
         """,
         "sanitize_strings": r"""
             WITH dirty AS (

@@ -410,6 +410,8 @@ class Pipeline:
         pipeline_name = f"{extractor_name}_to_{loader_name}"
 
         if not self._check_permission(Operation.EXECUTE_PIPELINE, str(source)):
+            if self.audit_logger:  # persist the denial before raising
+                self.audit_logger.flush(self.spark)
             raise PermissionError(
                 f"user {self.username!r} lacks permission to execute pipeline"
             )

@@ -100,7 +100,12 @@ class AccessController:
                 roles = {Role(r.strip()) for r in roles_str.split(",") if r.strip()}
                 self.users[name] = User(name, roles)
         if not self.users:
+            # Unconfigured: the reference defaults to a lone ``admin``
+            # user; we also admit the default CLI/pipeline username
+            # ``system`` so a freshly-installed CLI run works before any
+            # ETL_USERS policy exists. Setting ETL_USERS disables both.
             self.users["admin"] = User("admin", {Role.ADMIN})
+            self.users["system"] = User("system", {Role.ADMIN})
 
     def add_user(self, username: str, roles: set[Role]) -> None:
         self.users[username] = User(username, set(roles))

@@ -1,0 +1,259 @@
+"""Pipeline orchestration, RBAC/audit, LoadOptions precedence, CLI, and
+the grouped-apply extension point.
+
+Strategy matrix mirrors the reference's pipeline integration suite
+(reference:tests/integration/pipeline/test_pipeline_integration.py:195-252).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_framework_spark.lakehouse import LakeTable
+from etl_framework_spark.operators import LoadStrategy
+from etl_framework_spark.pipeline import (
+    CleanerTransformer,
+    CsvExtractor,
+    DataFrameExtractor,
+    FileLoader,
+    FnTransformer,
+    LakeLoader,
+    LoadOptions,
+    MappingTransformer,
+    Pipeline,
+    strategy_from_string,
+)
+from etl_framework_spark.security import AccessController, Role
+
+
+@pytest.fixture()
+def src(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, name string, v double"
+    )
+
+
+def _pipe(spark, tmp_path, username="admin", **kw):
+    p = Pipeline(
+        spark,
+        username=username,
+        audit_log_file=str(tmp_path / "audit.jsonl"),
+        audit_table=str(tmp_path / "audit_table"),
+        **kw,
+    )
+    p.register_extractor("mem", DataFrameExtractor())
+    p.register_loader("lake", LakeLoader(spark, n_buckets=4))
+    return p
+
+
+@pytest.mark.parametrize("strategy", ["replace", "append", "upsert", "update"])
+def test_pipeline_strategies(spark, tmp_path, src, strategy):
+    target = str(tmp_path / "t")
+    pipe = _pipe(spark, tmp_path)
+    pipe.run("mem", src, "lake", target, strategy="replace", key_columns=["id"])
+    batch2 = spark.createDataFrame(
+        [(2, "B2", 22.0), (9, "new", 99.0)], "id int, name string, v double"
+    )
+    pipe.run("mem", batch2, "lake", target, strategy=strategy, key_columns=["id"])
+    rows = {r["id"]: r["name"] for r in LakeTable(spark, target).current().collect()}
+    if strategy == "replace":
+        assert rows == {2: "B2", 9: "new"}
+    elif strategy == "append":
+        assert len(LakeTable(spark, target).current().collect()) == 5
+    elif strategy == "upsert":
+        assert rows == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    else:  # update: never inserts
+        assert rows == {1: "a", 2: "B2", 3: "c"}
+
+
+def test_pipeline_transformer_chain_is_one_lazy_plan(spark, tmp_path, src):
+    target = str(tmp_path / "t")
+    pipe = _pipe(spark, tmp_path)
+    pipe.add_transformer(CleanerTransformer())
+    pipe.add_transformer(FnTransformer(lambda df: df.where(F.col("v") > 15)))
+    pipe.add_transformer(
+        MappingTransformer({"calculations": [{"name": "v2", "formula": "v * 2"}]})
+    )
+    df = pipe.run("mem", src, "lake", target, strategy="replace")
+    assert set(df.columns) == {"id", "name", "v", "v2"}
+    out = {r["id"]: r["v2"] for r in LakeTable(spark, target).current().collect()}
+    assert out == {2: 40.0, 3: 60.0}
+
+
+def test_pipeline_audit_records_rows_processed(spark, tmp_path, src):
+    target = str(tmp_path / "t")
+    pipe = _pipe(spark, tmp_path)
+    pipe.run("mem", src, "lake", target, strategy="replace")
+    audit = LakeTable(spark, str(tmp_path / "audit_table")).current().collect()
+    runs = [r for r in audit if r["event_type"] == "pipeline_execution"]
+    assert len(runs) == 1 and runs[0]["success"]
+    details = json.loads(runs[0]["details"])
+    assert details["rows_processed"] == 3  # from observe(), no extra pass
+    assert details["pipeline"] == "mem_to_lake"
+
+
+def test_rbac_denies_unauthorized_transform_and_audits(spark, tmp_path, src):
+    """VIEWER cannot TRANSFORM: the transformer is skipped (reference
+    behavior) and a permission_denied audit row is written."""
+    ac = AccessController(users_config="eve:viewer;admin:admin")
+    ac.add_user("op-no-transform", set())  # registered but no roles at all
+    target = str(tmp_path / "t")
+    pipe = _pipe(spark, tmp_path, username="eve", access_controller=ac)
+    pipe.add_transformer(FnTransformer(lambda df: df.drop("v"), name="DropV"))
+    # viewer lacks EXECUTE_PIPELINE entirely
+    with pytest.raises(PermissionError):
+        pipe.run("mem", src, "lake", target, strategy="replace")
+    # the denial is flushed to the audit table before the raise
+    audit = LakeTable(spark, str(tmp_path / "audit_table")).current().collect()
+    denied = [r for r in audit if r["event_type"] == "permission_denied"]
+    assert denied and json.loads(denied[0]["details"])["operation"] == "execute_pipeline"
+
+
+def test_rbac_operator_runs_but_skips_denied_stage_never_happens(spark, tmp_path, src):
+    """OPERATOR has all pipeline ops: the transformer runs."""
+    ac = AccessController(users_config="op:operator")
+    target = str(tmp_path / "t")
+    pipe = _pipe(spark, tmp_path, username="op", access_controller=ac)
+    pipe.add_transformer(FnTransformer(lambda df: df.drop("v"), name="DropV"))
+    pipe.run("mem", src, "lake", target, strategy="replace")
+    assert "v" not in LakeTable(spark, target).current().columns
+
+
+def test_rbac_roles_matrix():
+    ac = AccessController(users_config="v:viewer;o:operator;aud:auditor")
+    from etl_framework_spark.security import Operation
+
+    assert not ac.check_permission("v", Operation.EXECUTE_PIPELINE)
+    assert ac.check_permission("o", Operation.EXECUTE_PIPELINE)
+    assert not ac.check_permission("o", Operation.VIEW_AUDIT_LOGS)
+    assert ac.check_permission("aud", Operation.VIEW_AUDIT_LOGS)
+    assert not ac.check_permission("ghost", Operation.READ_CONFIG)
+
+
+def test_load_options_three_level_precedence():
+    opts = LoadOptions.resolve(
+        cli={"strategy": "upsert", "key_columns": None},
+        mapping={"strategy": "append", "key_columns": ["k"], "n_buckets": 16},
+        env={"strategy": "replace", "key_columns": ["envk"], "n_buckets": 64,
+             "drop_duplicates": True},
+    )
+    assert opts.strategy is LoadStrategy.UPSERT      # CLI wins
+    assert opts.key_columns == ["k"]                 # mapping beats env
+    assert opts.n_buckets == 16                      # mapping beats env
+    assert opts.drop_duplicates is True              # env only
+
+
+def test_load_options_validation():
+    with pytest.raises(ValueError, match="requires key_columns"):
+        LoadOptions(strategy="upsert")
+    with pytest.raises(ValueError, match="invalid key column"):
+        LoadOptions(strategy="upsert", key_columns=["bad name; drop"])
+    assert strategy_from_string("bogus") is LoadStrategy.REPLACE  # reference fallback
+
+
+def test_load_options_from_env():
+    env = {
+        "ETL_LOAD_STRATEGY": "append",
+        "ETL_KEY_COLUMNS": "a, b",
+        "ETL_N_BUCKETS": "8",
+        "ETL_DROP_DUPLICATES": "true",
+    }
+    p = LoadOptions.from_env(env)
+    assert p == {
+        "strategy": "append",
+        "key_columns": ["a", "b"],
+        "n_buckets": 8,
+        "drop_duplicates": True,
+    }
+
+
+def test_cli_end_to_end(spark, tmp_path, src):
+    """CLI parity (reference cli/main.py:137-241): csv source -> mapping
+    transform -> lake target under upsert, mapping file supplying the
+    strategy (level-2 precedence)."""
+    from etl_framework_spark.cli import main
+
+    csv_dir = str(tmp_path / "in.csv")
+    src.write.option("header", True).csv(csv_dir)
+    mapping = {
+        "calculations": [{"name": "doubled", "formula": "v * 2"}],
+        "loading_strategy": {"strategy": "upsert", "key_columns": ["id"]},
+    }
+    mpath = tmp_path / "mapping.json"
+    mpath.write_text(json.dumps(mapping))
+    target = str(tmp_path / "t")
+    rc = main(
+        [
+            "--source", csv_dir,
+            "--extractor", "csv",
+            "--loader", "lake",
+            "--target", target,
+            "--mapping", str(mpath),
+        ]
+    )
+    assert rc == 0
+    rows = {r["id"]: r["doubled"] for r in LakeTable(spark, target).current().collect()}
+    assert rows == {1: 20.0, 2: 40.0, 3: 60.0}
+
+
+def test_file_loader_modes(spark, tmp_path, src):
+    pipe = Pipeline(spark, enable_security=False)
+    pipe.register_extractor("mem", DataFrameExtractor())
+    pipe.register_loader("file", FileLoader(format="parquet"))
+    out = str(tmp_path / "out.parquet")
+    pipe.run("mem", src, "file", out, strategy="replace")
+    assert spark.read.parquet(out).count() == 3
+    with pytest.raises(Exception):  # FAIL on existing
+        pipe.run("mem", src, "file", out, strategy="fail")
+    with pytest.raises(ValueError, match="keyed strategies"):
+        pipe.run("mem", src, "file", out, strategy="upsert", key_columns=["id"])
+
+
+# ---------------------------------------------------------------- grouped
+
+
+def test_grouped_validator_flags_dups_and_gaps(spark):
+    from etl_framework_spark.operators.grouped import validate_conversation_turns
+
+    rows = [
+        # conv ok: contiguous 0..2, alternating roles
+        ("ok", 0, "user", "2026-01-01 00:00:00"),
+        ("ok", 1, "assistant", "2026-01-01 00:00:10"),
+        ("ok", 2, "user", "2026-01-01 00:01:10"),
+        # conv bad: duplicate turn 1, missing turn 2, repeated role
+        ("bad", 0, "user", "2026-01-01 00:00:00"),
+        ("bad", 1, "user", "2026-01-01 00:00:05"),
+        ("bad", 1, "assistant", "2026-01-01 00:00:06"),
+        ("bad", 3, "assistant", "2026-01-01 00:00:09"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["conv_id"]: r for r in validate_conversation_turns(df).collect()}
+    ok, bad = out["ok"], out["bad"]
+    assert ok["valid"] and ok["n_missing"] == 0 and ok["n_dup_turns"] == 0
+    assert ok["role_repeats"] == 0 and ok["max_gap_seconds"] == 60.0
+    assert not bad["valid"]
+    assert bad["n_dup_turns"] == 1
+    assert bad["n_missing"] == 1  # turn 2 absent (4 turns, max=3, 3 distinct)
+    assert bad["role_repeats"] == 2  # user,user and assistant,assistant
+
+
+def test_grouped_apply_arbitrary_fn(spark):
+    import pandas as pd
+
+    from etl_framework_spark.operators.grouped import grouped_apply
+
+    df = spark.createDataFrame([(1, 2.0), (1, 4.0), (2, 10.0)], "k int, v double")
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["v"] = pdf["v"] - pdf["v"].mean()
+        return pdf
+
+    out = grouped_apply(df, ["k"], demean, "k int, v double").collect()
+    got = sorted((r["k"], r["v"]) for r in out)
+    assert got == [(1, -1.0), (1, 1.0), (2, 0.0)]
