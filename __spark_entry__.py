@@ -528,21 +528,53 @@ def q_knn_ivf_full(spark, sf):  # IVF ANN with nprobe=all == exact top-10
     return out.select("vec_id", F.round("sim", 4).alias("sim"))
 
 
-def q_media_features(spark, sf):  # multimodal plumbing (rows-only check)
+def q_knn_ivf_stored(spark, sf):  # IVF on BUCKETED STORAGE (partition-pruned)
+    """Same exact-equivalence contract as knn_ivf_full (nprobe=all), but
+    the index is round-tripped through ``ivf_write``/``ivf_read`` — the
+    100 TB form where a probe's centroid filter is file-level partition
+    pruning, not a post-scan filter (pruning gated in
+    tests/test_plans.py)."""
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.operators import ivf_build, ivf_read, ivf_write, knn_ivf
+
+    e = _t(spark, sf, "embeddings")
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow["embedding"]]
+    assigned, cents = ivf_build(e.where(F.col("vec_id") != 0), n_centroids=8)
+    tmp = tempfile.mkdtemp(prefix="entry_ivf_")
+    try:
+        ivf_write(assigned, cents, f"{tmp}/idx")
+        stored, cents2 = ivf_read(spark, f"{tmp}/idx")
+        out = knn_ivf(stored, cents2, qvec, k=10, nprobe=8)
+        res = out.select("vec_id", F.round("sim", 4).alias("sim"))
+        schema, pdf = res.schema, res.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def q_media_features(spark, sf):  # multimodal decode plumbing, oracle-checked
+    """The decode stubs are sha256-seeded and deterministic, so the
+    oracle replays payload construction in pure SQL: payload bytes =
+    sha256 digest of '11:<id>' repeated (8 + id%5) times; content
+    parity goes through sha256-of-hex (DuckDB's sha256 is
+    VARCHAR-only). RNG-derived outputs (mean_luma, embedding) are
+    pinned by exact-value pytest instead (tests/test_training_ops.py)."""
     from etl_framework_spark.operators.multimodal import gen_media, image_features
 
     m = gen_media(spark, 300, seed=11)
-    return (
-        image_features(m)
-        .groupBy("out_width", "out_height")
-        .agg(
-            F.count("*").alias("n_images"),
-            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
-        )
+    feats = image_features(m).select(
+        "media_id", "n_bytes", "out_width", "out_height"
     )
+    hashes = m.select(
+        "media_id", F.sha2(F.hex("payload"), 256).alias("payload_sha")
+    )
+    return feats.join(hashes, "media_id")
 
 
-def q_frame_sample(spark, sf):  # video frame sampling (rows-only check)
+def q_frame_sample(spark, sf):  # video frame sampling (UDTF-shaped), oracle-checked
     from etl_framework_spark.operators.multimodal import gen_media, sample_frames
 
     m = gen_media(spark, 300, seed=11)
@@ -1009,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "lang_id_stats": q_lang_id_stats,
         "knn_ivf_full": q_knn_ivf_full,
+        "knn_ivf_stored": q_knn_ivf_stored,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "rollup_revenue": q_rollup_revenue,
@@ -1295,6 +1328,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM g GROUP BY user_id
         """,
+        "media_features": """
+            SELECT i AS media_id,
+                   CAST(32 * (8 + i % 5) AS INT) AS n_bytes,
+                   32 AS out_width, 32 AS out_height,
+                   sha256(repeat(upper(sha256('11:' || CAST(i AS VARCHAR))),
+                                 8 + i % 5)) AS payload_sha
+            FROM range(300) t(i) WHERE i % 3 = 0
+        """,
+        "frame_sample": """
+            WITH v AS (
+                SELECT i AS media_id, 1000 * (1 + i % 30) AS duration_ms
+                FROM range(300) t(i) WHERE i % 3 = 2
+            )
+            SELECT media_id,
+                   CAST(ceil(duration_ms / 5000.0) AS BIGINT) AS n_frames,
+                   CAST(5000 * (ceil(duration_ms / 5000.0) - 1) AS BIGINT)
+                       AS last_ms
+            FROM v
+        """,
         "conversation_validate": """
             WITH tr0 AS (
                 SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -1343,6 +1395,19 @@ def oracle_sql() -> dict[str, str]:
             FROM clean
         """,
         "knn_ivf_full": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                (SELECT qv FROM q)), 4) AS sim
+            FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "knn_ivf_stored": """
             WITH q AS (
                 SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
             )

@@ -16,6 +16,15 @@ MERGE pattern:
   giving optimistic-concurrency commits on POSIX (a real deployment swaps
   this for an Iceberg/HMS catalog swap; the rest of the engine is
   unchanged).
+- **Sharded manifests** (Iceberg's manifest-list/manifest split): above
+  ``MANIFEST_INLINE_MAX`` buckets, the bucket map is stored as immutable
+  SHARD files (``_meta/shards/``), each covering a contiguous bucket
+  range, and the snapshot holds only ``shard_idx -> file``. A commit
+  rewrites ONLY the shards containing touched buckets and carries every
+  other shard by file reference, and readers load only the shards
+  covering the buckets they scan — so commit and metadata-read cost are
+  O(touched), not O(table), at 10^5+ buckets. Small tables keep the
+  inline map (one file, zero indirection).
 - **Schema evolution**: schemas are versioned; data files keep the
   schema_id they were written with, and reads upcast old files to the
   current schema (missing columns -> NULL, widened types -> cast). Add
@@ -47,6 +56,12 @@ from pyspark.sql import types as T
 
 META_DIR = "_meta"
 DATA_DIR = "data"
+SHARD_DIR = "shards"
+
+#: tables with more buckets than this get sharded manifests
+MANIFEST_INLINE_MAX = 256
+#: target shard count for sharded tables
+MANIFEST_TARGET_SHARDS = 64
 
 #: Iceberg-compatible primitive type promotions (old -> new).
 _WIDENINGS = {
@@ -131,13 +146,140 @@ def align_to_schema(
     return df.select(*cols)
 
 
-@dataclass
 class Snapshot:
-    version: int
-    schema_id: int
-    summary: dict[str, Any]
-    buckets: dict[str, list[dict[str, Any]]]  # bucket -> [{"path", "schema_id"}]
-    epochs: dict[str, int]  # stream_id -> max applied epoch
+    """A committed table version.
+
+    The bucket map (``bucket -> [{"path", "schema_id"}]``) is either
+    inline in the snapshot file (small tables) or split across immutable
+    shard files loaded LAZILY per bucket range — ``buckets_for`` reads
+    only the shards covering the requested buckets, so point reads and
+    delta commits never pay O(table) metadata IO."""
+
+    def __init__(
+        self,
+        version: int,
+        schema_id: int,
+        summary: dict[str, Any],
+        epochs: dict[str, int],
+        inline_buckets: dict[str, list[dict[str, Any]]] | None = None,
+        shards: dict[str, str] | None = None,  # shard_idx(str) -> relpath
+        base_path: str | None = None,
+        shard_size: int = 0,
+    ):
+        self.version = version
+        self.schema_id = schema_id
+        self.summary = summary
+        self.epochs = epochs
+        self._inline = inline_buckets
+        self.shards = shards or {}
+        self._base = base_path
+        self.shard_size = shard_size
+        self._cache: dict[str, dict[str, list[dict[str, Any]]]] = {}
+
+    @property
+    def sharded(self) -> bool:
+        return self._inline is None
+
+    def shard_of(self, bucket: int) -> str:
+        return str(int(bucket) // max(self.shard_size, 1))
+
+    def _load_shard(self, idx: str) -> dict[str, list[dict[str, Any]]]:
+        if idx in self._cache:
+            return self._cache[idx]
+        rel = self.shards.get(idx)
+        if rel is None:
+            content: dict[str, list[dict[str, Any]]] = {}
+        else:
+            with open(os.path.join(self._base, rel)) as f:
+                content = json.load(f)["buckets"]
+        self._cache[idx] = content
+        return content
+
+    def buckets_for(self, bucket_ids) -> dict[str, list[dict[str, Any]]]:
+        """Bucket map restricted to ``bucket_ids`` — loads only the
+        covering shards."""
+        sel = {str(int(b)) for b in bucket_ids}
+        if not self.sharded:
+            return {b: fs for b, fs in self._inline.items() if b in sel}
+        out: dict[str, list[dict[str, Any]]] = {}
+        for idx in {self.shard_of(int(b)) for b in sel}:
+            for b, fs in self._load_shard(idx).items():
+                if b in sel:
+                    out[b] = fs
+        return out
+
+    @property
+    def buckets(self) -> dict[str, list[dict[str, Any]]]:
+        """Full bucket map (loads every shard — full-scan callers only)."""
+        if not self.sharded:
+            return self._inline
+        out: dict[str, list[dict[str, Any]]] = {}
+        for idx in self.shards:
+            out.update(self._load_shard(idx))
+        return out
+
+
+@dataclass
+class BucketDelta:
+    """A commit expressed as per-bucket changes — the unit the sharded
+    manifest can apply with O(touched-shards) IO.
+
+    mode:
+      - ``append``    extend the listed buckets' file lists
+      - ``replace``   replace listed buckets; ``dropped`` buckets are
+                      removed; with ``expected`` set, a bucket whose
+                      fresh file list moved since the writer's read is a
+                      CONFLICT — resolved per ``on_conflict``
+                      (``keep_fresh``: skip that bucket; ``raise``:
+                      abort the commit loudly)
+      - ``overwrite`` the map becomes exactly ``entries``
+    """
+
+    mode: str
+    entries: dict[str, list[dict[str, Any]]]
+    dropped: set[str] = None  # type: ignore[assignment]
+    expected: dict[str, list[dict[str, Any]]] | None = None
+    on_conflict: str = "keep_fresh"
+
+    def __post_init__(self):
+        if self.dropped is None:
+            self.dropped = set()
+
+    @property
+    def touched(self) -> set[str]:
+        return set(self.entries) | set(self.dropped)
+
+    def apply(
+        self,
+        current: dict[str, list[dict[str, Any]]],
+        restrict: set[str] | None = None,
+    ) -> dict[str, list[dict[str, Any]]]:
+        """New bucket map from ``current`` (optionally only buckets in
+        ``restrict`` — used to apply shard-by-shard)."""
+        sel = (lambda b: True) if restrict is None else (lambda b: b in restrict)
+        if self.mode == "overwrite":
+            return {b: list(fs) for b, fs in self.entries.items() if sel(b)}
+        out = {b: list(fs) for b, fs in current.items()}
+        if self.mode == "append":
+            for b, fs in self.entries.items():
+                if sel(b):
+                    out.setdefault(b, []).extend(fs)
+            return out
+        assert self.mode == "replace"
+        for b in self.touched:
+            if not sel(b):
+                continue
+            if self.expected is not None and out.get(b, []) != self.expected.get(b, []):
+                if self.on_conflict == "raise":
+                    raise CommitConflict(
+                        f"bucket {b} rewritten concurrently during commit"
+                    )
+                continue  # keep_fresh: the concurrent writer's view wins
+            if b in self.entries:
+                out[b] = list(self.entries[b])
+            else:
+                out.pop(b, None)
+        return out
 
 
 class LakeTable:
@@ -150,6 +292,7 @@ class LakeTable:
         self._schemas: dict[int, T.StructType] = {}
         self.n_buckets: int = 0
         self.key_columns: list[str] = []
+        self.manifest_shard_size: int = 0
         self._load_meta()
 
     # ------------------------------------------------------------- create
@@ -162,8 +305,13 @@ class LakeTable:
         key_columns: list[str],
         n_buckets: int = 32,
         if_exists: str = "error",
+        manifest_shard_size: int | None = None,
     ) -> "LakeTable":
-        """Create an empty table. ``if_exists``: error | ignore | replace."""
+        """Create an empty table. ``if_exists``: error | ignore | replace.
+
+        ``manifest_shard_size``: buckets per manifest shard; 0 = inline
+        bucket map. Default: inline up to ``MANIFEST_INLINE_MAX``
+        buckets, else ~``MANIFEST_TARGET_SHARDS`` shards."""
         meta = os.path.join(os.path.abspath(path), META_DIR)
         if os.path.exists(os.path.join(meta, "table.json")):
             if if_exists == "error":
@@ -174,23 +322,34 @@ class LakeTable:
                 import shutil
 
                 shutil.rmtree(path)
+        if manifest_shard_size is None:
+            manifest_shard_size = (
+                0
+                if n_buckets <= MANIFEST_INLINE_MAX
+                else -(-n_buckets // MANIFEST_TARGET_SHARDS)
+            )
         os.makedirs(meta, exist_ok=True)
+        os.makedirs(os.path.join(meta, SHARD_DIR), exist_ok=True)
         os.makedirs(os.path.join(os.path.abspath(path), DATA_DIR), exist_ok=True)
         table_meta = {
-            "format_version": 1,
+            "format_version": 2,
             "key_columns": key_columns,
             "n_buckets": n_buckets,
+            "manifest_shard_size": manifest_shard_size,
             "schemas": {"0": json.loads(schema.json())},
         }
         with open(os.path.join(meta, "table.json"), "w") as f:
             json.dump(table_meta, f)
-        snap = {
+        snap: dict[str, Any] = {
             "version": 0,
             "schema_id": 0,
             "summary": {"operation": "create"},
-            "buckets": {},
             "epochs": {},
         }
+        if manifest_shard_size > 0:
+            snap["shards"] = {}
+        else:
+            snap["buckets"] = {}
         with open(os.path.join(meta, "v%012d.json" % 0), "w") as f:
             json.dump(snap, f)
         return cls(spark, path)
@@ -200,12 +359,25 @@ class LakeTable:
         return os.path.exists(os.path.join(os.path.abspath(path), META_DIR, "table.json"))
 
     # --------------------------------------------------------------- meta
+    def _snapshot_from_json(self, s: dict[str, Any]) -> Snapshot:
+        return Snapshot(
+            version=s["version"],
+            schema_id=s["schema_id"],
+            summary=s.get("summary", {}),
+            epochs=s.get("epochs", {}),
+            inline_buckets=None if "shards" in s else s.get("buckets", {}),
+            shards=s.get("shards"),
+            base_path=self.path,
+            shard_size=self.manifest_shard_size,
+        )
+
     def _load_meta(self) -> None:
         meta = os.path.join(self.path, META_DIR)
         with open(os.path.join(meta, "table.json")) as f:
             tm = json.load(f)
         self.key_columns = tm["key_columns"]
         self.n_buckets = tm["n_buckets"]
+        self.manifest_shard_size = int(tm.get("manifest_shard_size", 0))
         self._schemas = {
             int(k): T.StructType.fromJson(v) for k, v in tm["schemas"].items()
         }
@@ -215,13 +387,7 @@ class LakeTable:
         )
         with open(os.path.join(meta, "v%012d.json" % versions[-1])) as f:
             s = json.load(f)
-        self._snap = Snapshot(
-            version=s["version"],
-            schema_id=s["schema_id"],
-            summary=s.get("summary", {}),
-            buckets=s.get("buckets", {}),
-            epochs=s.get("epochs", {}),
-        )
+        self._snap = self._snapshot_from_json(s)
 
     def refresh(self) -> "LakeTable":
         self._load_meta()
@@ -255,17 +421,12 @@ class LakeTable:
         return int(self.snapshot.epochs.get(stream_id, -1))
 
     def snapshot_at(self, version: int) -> Snapshot:
-        """Load a historical snapshot (time travel)."""
+        """Load a historical snapshot (time travel). Shard files are
+        immutable, so old versions' shard references stay readable."""
         p = os.path.join(self.path, META_DIR, "v%012d.json" % version)
         with open(p) as f:
             s = json.load(f)
-        return Snapshot(
-            version=s["version"],
-            schema_id=s["schema_id"],
-            summary=s.get("summary", {}),
-            buckets=s.get("buckets", {}),
-            epochs=s.get("epochs", {}),
-        )
+        return self._snapshot_from_json(s)
 
     # -------------------------------------------------------------- reads
     def _read_files(self, entries: list[dict[str, Any]]) -> DataFrame | None:
@@ -296,11 +457,11 @@ class LakeTable:
         mutated, only dereferenced, so any committed version stays
         readable until GC)."""
         snap = self.snapshot if version is None else self.snapshot_at(version)
+        # bucket selection loads only the covering manifest shards
+        bmap = snap.buckets if buckets is None else snap.buckets_for(buckets)
         entries: list[dict[str, Any]] = []
-        sel = None if buckets is None else {str(b) for b in buckets}
-        for b, files in snap.buckets.items():
-            if sel is None or b in sel:
-                entries.extend(files)
+        for files in bmap.values():
+            entries.extend(files)
         df = self._read_files(entries)
         if df is None:
             return self.spark.createDataFrame([], self.schema)
@@ -328,11 +489,18 @@ class LakeTable:
         tombstoned ⇒ D.
         """
         old_snap, new_snap = self.snapshot_at(v_from), self.snapshot_at(v_to)
-        changed = [
-            b
-            for b in set(old_snap.buckets) | set(new_snap.buckets)
-            if old_snap.buckets.get(b) != new_snap.buckets.get(b)
-        ]
+        if old_snap.sharded and new_snap.sharded:
+            # shard files are immutable: identical shard reference =>
+            # identical content for every bucket it covers — only load
+            # and diff shards whose reference moved.
+            ob, nb = {}, {}
+            for idx in set(old_snap.shards) | set(new_snap.shards):
+                if old_snap.shards.get(idx) != new_snap.shards.get(idx):
+                    ob.update(old_snap._load_shard(idx))
+                    nb.update(new_snap._load_shard(idx))
+        else:
+            ob, nb = old_snap.buckets, new_snap.buckets
+        changed = [b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)]
         changed_ids = sorted(int(b) for b in changed)
         old = self.current(buckets=changed_ids, version=v_from)
         new = self.current(buckets=changed_ids, version=v_to)
@@ -415,26 +583,51 @@ class LakeTable:
         _ = schema
         return buckets
 
+    def _write_shard(self, content: dict[str, list[dict[str, Any]]]) -> str:
+        """Persist one immutable manifest shard; returns its relpath."""
+        rel = os.path.join(META_DIR, SHARD_DIR, f"s-{uuid.uuid4().hex}.json")
+        with open(os.path.join(self.path, rel), "w") as f:
+            json.dump({"buckets": content}, f)
+        return rel
+
+    def _sharded_map(self, delta: BucketDelta, fresh: Snapshot) -> dict[str, str]:
+        """Apply ``delta`` shard-by-shard against ``fresh``; returns the
+        new shard reference map. Only shards containing touched buckets
+        are loaded and rewritten — every other shard is carried by FILE
+        reference, so commit IO is O(touched), not O(table)."""
+        size = max(self.manifest_shard_size, 1)
+        if delta.mode == "overwrite":
+            by_shard: dict[str, dict[str, list[dict[str, Any]]]] = {}
+            for b, fs in delta.entries.items():
+                by_shard.setdefault(str(int(b) // size), {})[b] = fs
+            return {idx: self._write_shard(c) for idx, c in by_shard.items()}
+        new_shards = dict(fresh.shards)
+        for idx in sorted({str(int(b) // size) for b in delta.touched}):
+            in_shard = {b for b in delta.touched if str(int(b) // size) == idx}
+            content = delta.apply(dict(fresh._load_shard(idx)), restrict=in_shard)
+            if content:
+                new_shards[idx] = self._write_shard(content)
+            else:
+                new_shards.pop(idx, None)
+        return new_shards
+
     def _commit(
         self,
-        buckets: dict[str, list[dict[str, Any]]] | None,
+        delta: BucketDelta,
         schema_id: int,
         summary: dict[str, Any],
         epoch: tuple[str, int] | None = None,
         max_retries: int = 10,
-        rebase=None,
     ) -> int:
-        """Atomically publish a new snapshot. Optimistic concurrency: the
-        hard-link commit fails if another writer took the version; reload
-        and retry on top of their snapshot.
+        """Atomically publish a new snapshot from a BucketDelta.
 
-        ``rebase(fresh_buckets) -> new_buckets`` — when given, the bucket
-        map is REBUILT against the freshly-loaded snapshot on every
-        attempt, so a concurrent writer's commits to buckets this commit
-        did not touch are preserved (writers with disjoint touched sets
-        compose; overlapping buckets are last-committer-wins). A static
-        ``buckets`` map (no rebase) replaces the whole view and is only
-        safe for single-writer tables."""
+        Optimistic concurrency: the hard-link commit fails if another
+        writer took the version; the delta is re-applied against the
+        freshly-loaded snapshot and retried — so a concurrent writer's
+        commits to buckets this delta did not touch are preserved
+        (disjoint writers compose; overlapping buckets follow the
+        delta's mode/conflict policy, and ``expected`` preconditions
+        surface true conflicts instead of silently losing files)."""
         meta = os.path.join(self.path, META_DIR)
         # summary values may be zero-arg callables (e.g. a lineage job
         # running concurrently with the data write) — resolve them now,
@@ -446,13 +639,16 @@ class LakeTable:
             new_epochs = dict(snap.epochs)
             if epoch is not None:
                 new_epochs[epoch[0]] = max(int(new_epochs.get(epoch[0], -1)), epoch[1])
-            new = {
+            new: dict[str, Any] = {
                 "version": snap.version + 1,
                 "schema_id": schema_id,
                 "summary": summary,
-                "buckets": rebase(snap.buckets) if rebase is not None else buckets,
                 "epochs": new_epochs,
             }
+            if snap.sharded:
+                new["shards"] = self._sharded_map(delta, snap)
+            else:
+                new["buckets"] = delta.apply(snap.buckets)
             tmp = os.path.join(meta, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
                 json.dump(new, f)
@@ -511,16 +707,11 @@ class LakeTable:
         sid = self._ensure_schema(df.schema)
         aligned = align_to_schema(df, self._schemas[sid])
         new_buckets = self._write_data(aligned, sid)
-
-        def rebase(fresh: dict[str, list[dict[str, Any]]]):
-            merged = {k: list(v) for k, v in fresh.items()}
-            for b, files in new_buckets.items():
-                merged.setdefault(b, []).extend(files)
-            return merged
-
         return self._commit(
-            None, sid, {"operation": "append", **(summary or {})}, epoch=epoch,
-            rebase=rebase,
+            BucketDelta("append", new_buckets),
+            sid,
+            {"operation": "append", **(summary or {})},
+            epoch=epoch,
         )
 
     def overwrite(
@@ -535,7 +726,10 @@ class LakeTable:
         aligned = align_to_schema(df, self._schemas[sid])
         new_buckets = self._write_data(aligned, sid)
         return self._commit(
-            new_buckets, sid, {"operation": "overwrite", **(summary or {})}, epoch=epoch
+            BucketDelta("overwrite", new_buckets),
+            sid,
+            {"operation": "overwrite", **(summary or {})},
+            epoch=epoch,
         )
 
     def merge(
@@ -571,24 +765,12 @@ class LakeTable:
         aligned = align_to_schema(resolved, current, keep=["_bucket"])
 
         new_buckets = self._write_data(aligned, sid)
-        touched_set = set(touched)
-
-        def rebase(fresh: dict[str, list[dict[str, Any]]]):
-            merged = {
-                b: list(files)
-                for b, files in fresh.items()
-                if int(b) not in touched_set
-            }
-            for b, files in new_buckets.items():
-                merged.setdefault(b, []).extend(files)
-            return merged
-
+        dropped = {str(b) for b in touched} - set(new_buckets)
         return self._commit(
-            None,
+            BucketDelta("replace", new_buckets, dropped=dropped),
             sid,
             {"operation": "merge", "touched_buckets": touched, **(summary or {})},
             epoch=epoch,
-            rebase=rebase,
         )
 
     def file_stats(self) -> dict[str, Any]:
@@ -617,42 +799,27 @@ class LakeTable:
         epochs without blocking readers (old snapshots stay readable).
         """
         snap = self.snapshot
-        frag = [
-            int(b)
-            for b, fs in snap.buckets.items()
-            if len(fs) >= min_files and (buckets is None or int(b) in set(buckets))
-        ]
+        view = (
+            snap.buckets if buckets is None else snap.buckets_for(buckets)
+        )
+        frag = [int(b) for b, fs in view.items() if len(fs) >= min_files]
         if not frag:
             return snap.version
         sid = snap.schema_id
         data = align_to_schema(self.read(buckets=frag), self._schemas[sid])
         new_buckets = self._write_data(data, sid)
-        frag_set = set(frag)
-
-        def rebase(fresh: dict[str, list[dict[str, Any]]]):
-            # A concurrent merge may have REWRITTEN a fragged bucket after
-            # we read it — compacting over it would resurrect stale rows.
-            # Keep the fresh version for any bucket whose file list moved,
-            # and publish compacted files ONLY for buckets proven
-            # unchanged (a bucket deleted concurrently must stay deleted,
-            # not be re-added from pre-delete compacted data).
-            merged = {}
-            safe = set()
-            for b, fs in fresh.items():
-                if int(b) in frag_set and fs == snap.buckets.get(b):
-                    safe.add(b)
-                    continue  # replace with compacted files below
-                merged[b] = list(fs)
-            for b, fs in new_buckets.items():
-                if b in safe:
-                    merged[b] = list(fs)
-            return merged
-
+        # ``expected`` precondition: a concurrent merge may have
+        # REWRITTEN (or a delete REMOVED) a fragged bucket after we read
+        # it — publishing compacted pre-change data would resurrect
+        # stale rows. keep_fresh drops our compaction for exactly those
+        # buckets; the concurrent writer's view wins.
+        expected = {str(b): view.get(str(b), []) for b in frag}
         return self._commit(
-            None,
+            BucketDelta(
+                "replace", new_buckets, expected=expected, on_conflict="keep_fresh"
+            ),
             sid,
             {"operation": "compact", "buckets": frag, **(summary or {})},
-            rebase=rebase,
         )
 
     def delete_where(self, condition, summary: dict[str, Any] | None = None) -> int:
@@ -687,27 +854,19 @@ class LakeTable:
         touched = sorted(r["b"] for r in hit)
         if not touched:
             return snap.version
-        read_view = {str(b): list(snap.buckets.get(str(b), [])) for b in touched}
+        read_view = snap.buckets_for(touched)
+        read_view = {str(b): list(read_view.get(str(b), [])) for b in touched}
         kept = self.read(buckets=touched).where(~condition)
         new_buckets = self._write_data(kept, sid)
-        touched_set = set(read_view)
-
-        def rebase(fresh: dict[str, list[dict[str, Any]]]):
-            for b in touched_set:
-                if fresh.get(b, []) != read_view[b]:
-                    raise CommitConflict(
-                        f"bucket {b} rewritten concurrently during delete_where"
-                    )
-            merged = {
-                b: list(fs) for b, fs in fresh.items() if b not in touched_set
-            }
-            for b, fs in new_buckets.items():
-                merged.setdefault(b, []).extend(fs)
-            return merged
-
+        dropped = set(read_view) - set(new_buckets)
         return self._commit(
-            None,
+            BucketDelta(
+                "replace",
+                new_buckets,
+                dropped=dropped,
+                expected=read_view,
+                on_conflict="raise",
+            ),
             sid,
             {"operation": "delete", "touched_buckets": touched, **(summary or {})},
-            rebase=rebase,
         )

@@ -18,6 +18,8 @@ from etl_framework_spark.operators.load_strategies import (  # noqa: F401
 )
 from etl_framework_spark.operators.similarity import (  # noqa: F401
     ivf_build,
+    ivf_read,
+    ivf_write,
     knn_brute,
     knn_ivf,
 )

@@ -112,15 +112,22 @@ def gen_media(spark, n: int, seed: int = 42, partitions: int | None = None) -> D
 def repartition_for_media(df: DataFrame, payload_col: str = "payload", target_mb: int = 64) -> DataFrame:
     """Repartition by cumulative payload *size* instead of row count.
 
-    Estimates total bytes from a 1% sample aggregate, derives the
-    partition count, then round-robins. At real scale this sits before
-    any decode stage so Arrow batches stay ~target_mb."""
-    sampled = df.sample(0.01, seed=7).agg(
-        F.avg(F.length(payload_col)).alias("avg_len")
-    ).collect()[0]
-    avg = sampled["avg_len"] or 1.0
-    n_rows = df.count()
-    parts = max(1, int(n_rows * avg / (target_mb * 1024 * 1024)))
+    Estimates total bytes from ONE aggregate over a 1% sample
+    (count + byte sum in the same job — no separate full count pass);
+    falls back to one full-data aggregate only if the sample came back
+    empty. At real scale this sits before any decode stage so Arrow
+    batches stay ~target_mb."""
+    s = (
+        df.sample(0.01, seed=7)
+        .agg(F.count("*").alias("n"), F.sum(F.length(payload_col)).alias("bytes"))
+        .collect()[0]
+    )
+    if s["n"]:
+        est_total = (s["bytes"] or 0) / 0.01
+    else:  # table too small for the sample — one exact pass is cheap
+        f = df.agg(F.sum(F.length(payload_col)).alias("bytes")).collect()[0]
+        est_total = f["bytes"] or 0
+    parts = max(1, int(est_total / (target_mb * 1024 * 1024)))
     return df.repartition(parts)
 
 

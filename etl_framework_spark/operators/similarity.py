@@ -127,6 +127,39 @@ def ivf_build(
     return assigned.withColumnRenamed("_v", vec_col), centroids
 
 
+def ivf_write(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Persist an IVF index BUCKETED BY CENTROID: one directory per
+    ``centroid_id`` partition plus a ``_centroids.json`` sidecar.
+
+    This is the 100 TB form the ``ivf_build`` docstring promises: a
+    probe's ``centroid_id IN (...)`` predicate becomes Catalyst
+    PARTITION PRUNING — non-probed partitions' files are never opened,
+    so scan cost is ~nprobe/C of the index instead of a full pass with
+    a post-scan filter. (Spark skips underscore-prefixed sidecar files
+    when reading the directory.)"""
+    import json
+    import os
+
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a stored IVF index; partition pruning stays available to any
+    probe filtering on ``centroid_id``."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    return spark.read.parquet(path), centroids
+
+
 def knn_ivf(
     assigned: DataFrame,
     centroids: list[list[float]],

@@ -14,3 +14,7 @@ def spark():
     )
     yield s
     s.stop()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running soak tests")

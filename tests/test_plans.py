@@ -105,3 +105,26 @@ def test_calc_program_fuses_into_one_codegen_stage(spark):
     assert "Exchange" not in plan
     # every Project carries the same codegen stage id *(1)
     assert "*(2)" not in plan, plan
+
+
+def test_ivf_stored_probe_is_partition_pruned(spark, tmp_path):
+    """A probe on the BUCKETED IVF index must prune at the FILE level:
+    the centroid filter appears as PartitionFilters on the scan (only
+    probed centroid directories are opened), and the scan reports fewer
+    partitions than the index holds."""
+    from etl_framework_spark.operators import ivf_build, ivf_read, ivf_write, knn_ivf
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned, cents = ivf_build(e, n_centroids=8)
+    path = str(tmp_path / "idx")
+    ivf_write(assigned, cents, path)
+    stored, cents2 = ivf_read(spark, path)
+    qvec = [float(x) for x in e.select("embedding").head()["embedding"]]
+    probe = knn_ivf(stored, cents2, qvec, k=5, nprobe=2)
+    plan = plan_of(probe)
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    # results on the stored form match the in-memory form exactly
+    mem = knn_ivf(assigned, cents, qvec, k=5, nprobe=2)
+    assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in mem.collect()]

@@ -110,3 +110,79 @@ def test_restart_with_no_new_data_is_noop(spark, setup):
     q2.awaitTermination()
     assert LakeTable(spark, table_path).version == v
     assert_matches_oracle(spark, table_path, all_pdf)
+
+
+@pytest.mark.slow
+def test_continuous_trigger_soak(spark, tmp_path):
+    """Soak: a continuous processingTime trigger runs >= 60s while a
+    concurrent generator keeps appending binlog segments. Final table
+    state must equal the pandas replay oracle over everything written,
+    and the applied epoch sequence must be strictly monotone (each
+    micro-batch committed exactly once, in order)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_framework_spark.datagen import gen_changes
+
+    change_dir = str(tmp_path / "changes")
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    LakeTable.create(spark, table_path, STORED_SCHEMA, KEY_COLUMNS, n_buckets=8)
+    # seed one segment so the stream has data at start
+    gen_changes(spark, 500, n_convs=40, seed=100, lsn_start=1).coalesce(1).write.parquet(
+        f"{change_dir}/b0000"
+    )
+    q = start_ingest(
+        spark,
+        table_path,
+        change_dir,
+        ckpt,
+        CHANGE_SCHEMA,
+        stream_id="soak",
+        available_now=False,
+        processing_time="1 second",
+        max_files_per_trigger=4,
+    )
+    try:
+        t0 = time.time()
+        lsn, batch = 501, 1
+        while time.time() - t0 < 60:
+            gen_changes(
+                spark, 500, n_convs=40, seed=100 + batch, lsn_start=lsn
+            ).coalesce(1).write.parquet(f"{change_dir}/b{batch:04d}")
+            lsn += 500
+            batch += 1
+            time.sleep(1.0)
+        # drain: consider done when the last 3 progress reports saw no
+        # input rows (all segments discovered and applied)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            prog = q.recentProgress
+            if len(prog) >= 3 and all(
+                p["numInputRows"] == 0 for p in prog[-3:]
+            ):
+                break
+            time.sleep(2.0)
+        else:
+            pytest.fail("stream did not drain within 120s")
+    finally:
+        q.stop()
+
+    all_pdf = (
+        spark.read.schema(CHANGE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(change_dir)
+        .toPandas()
+    )
+    assert batch >= 30, "generator should have produced >= 30 segments"
+    assert_matches_oracle(spark, table_path, all_pdf)
+    # epochs strictly monotone across the commit history
+    epochs = [
+        h["summary"]["source_offsets"]["epoch"]
+        for h in LakeTable(spark, table_path).history()
+        if h["summary"].get("stream_id") == "soak"
+        and "source_offsets" in h["summary"]
+    ]
+    assert epochs == sorted(set(epochs)), f"non-monotone epochs: {epochs}"
+    assert len(epochs) >= 5
