@@ -701,6 +701,50 @@ def q_cdc_stream_apply(spark, sf):  # full streaming path -> final state
     return spark.createDataFrame(out, schema=schema)
 
 
+def q_excel_roundtrip(spark, sf):  # S2: xlsx sink+scan (self-contained codec)
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.sources import read_excel, write_xlsx
+
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name").orderBy("n_nationkey")
+    pdf0 = n.toPandas()
+    tmp = tempfile.mkdtemp(prefix="entry_xlsx_")
+    try:
+        p = f"{tmp}/nation.xlsx"
+        write_xlsx(p, list(pdf0.columns), pdf0.values.tolist())
+        back = read_excel(spark, p)
+        out = back.select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            F.col("n_name").cast("string").alias("n_name"),
+        )
+        schema, pdf = out.schema, out.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def q_feather_roundtrip(spark, sf):  # L9: feather sink+scan (Arrow IPC, distributed)
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.sources import read_feather, write_feather
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="entry_feather_")
+    try:
+        write_feather(o, f"{tmp}/orders")
+        back = read_feather(spark, f"{tmp}/orders")
+        out = back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        schema, pdf = out.schema, out.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def q_csv_roundtrip(spark, sf):  # S1: csv sink+scan with pinned schema
     import shutil
     import tempfile
@@ -1053,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "percentiles": q_percentiles,
         "csv_roundtrip": q_csv_roundtrip,
+        "excel_roundtrip": q_excel_roundtrip,
+        "feather_roundtrip": q_feather_roundtrip,
         "json_flatten": q_json_flatten,
         "crypto_roundtrip": q_crypto_roundtrip,
         "clean_standardize": q_clean_standardize,
@@ -1306,6 +1352,15 @@ def oracle_sql() -> dict[str, str]:
         "clean_standardize": """
             SELECT doc_id, lang AS lang_code, source, n_chars
             FROM documents WHERE doc_id % 10 <> 0
+        """,
+        "excel_roundtrip": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation ORDER BY n_nationkey
+        """,
+        "feather_roundtrip": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY o_orderstatus
         """,
         "pipeline_end_to_end": """
             SELECT o_orderkey, o_custkey,

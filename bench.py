@@ -53,7 +53,6 @@ HEADLINE = [
     "token_stats_by_source",
     "knn_cosine",
     "calc_program",
-    "grouped_session_stats",
 ]
 
 #: change events per unit sf (sf0.1 -> 2M events).

@@ -302,19 +302,46 @@ class LakeLoader(Loader):
 
 
 class FileLoader(Loader):
-    """Parquet/CSV file sink (reference FileLoader,
-    reference:src/etl_framework/plugins/loaders/file_loader.py:57-124).
+    """Parquet/CSV/feather/xlsx file sink (reference FileLoader,
+    reference:src/etl_framework/plugins/loaders/file_loader.py:57-124,262-299).
     Strategy maps to write mode: FAIL->error, REPLACE->overwrite,
-    APPEND->append; keyed strategies need a table, use LakeLoader."""
+    APPEND->append; keyed strategies need a table, use LakeLoader.
+    feather writes are distributed (one Arrow IPC file per partition);
+    xlsx is driver-side (the format caps at ~10^6 rows)."""
 
     def __init__(self, format: str = "parquet", **options):
         self.format = format
         self.options = options
 
     def load(self, df, target, strategy=LoadStrategy.REPLACE, key_columns=None, **kw):
+        import os
+
         strategy = strategy_from_string(strategy)
         if strategy in (LoadStrategy.UPDATE, LoadStrategy.UPSERT):
             raise ValueError("keyed strategies require a table sink (LakeLoader)")
+        if self.format in ("feather", "xlsx"):
+            if strategy is LoadStrategy.FAIL and os.path.exists(str(target)):
+                raise FileExistsError(f"target exists and strategy is FAIL: {target}")
+            if strategy is LoadStrategy.APPEND and self.format == "xlsx":
+                raise ValueError("xlsx sink does not support APPEND")
+            if self.format == "feather":
+                from etl_framework_spark.sources.feather import write_feather
+
+                if strategy is LoadStrategy.REPLACE and os.path.isdir(str(target)):
+                    import shutil
+
+                    shutil.rmtree(str(target))
+                write_feather(df, str(target))
+            else:
+                from etl_framework_spark.sources.xlsx import write_xlsx
+
+                pdf = df.toPandas()
+                write_xlsx(
+                    str(target),
+                    list(pdf.columns),
+                    pdf.where(pdf.notna(), None).values.tolist(),
+                )
+            return str(target)
         mode = {
             LoadStrategy.FAIL: "error",
             LoadStrategy.REPLACE: "overwrite",

@@ -108,19 +108,24 @@ def flatten_json(df: DataFrame, explode_arrays: bool = True, sep: str = "_") -> 
 def read_excel(
     spark: SparkSession, path: str, sheet_name: int | str = 0, schema: T.StructType | None = None
 ) -> DataFrame:
-    """Excel scan (reference S2). Driver-side pandas read (Excel files
-    are small by construction; a 100 TB pipeline does not ingest xlsx),
-    then Arrow-converted to a distributed DataFrame."""
-    try:
-        import pandas as pd  # noqa: F401
-        import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - lib not in container
-        raise NotImplementedError(
-            "read_excel requires openpyxl; install it or convert to CSV/parquet"
-        ) from e
+    """Excel scan (reference S2). Driver-side read (Excel files are
+    small by construction; a 100 TB pipeline does not ingest xlsx),
+    then Arrow-converted to a distributed DataFrame.
+
+    Prefers pandas+openpyxl when installed; otherwise falls back to the
+    self-contained SpreadsheetML parser (``sources.xlsx``), so the path
+    is fully functional and tested without third-party Excel libs."""
     import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet_name)
+    try:
+        import openpyxl  # noqa: F401
+
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError:
+        from etl_framework_spark.sources.xlsx import parse_xlsx
+
+        header, rows = parse_xlsx(path, sheet=sheet_name)
+        pdf = pd.DataFrame(rows, columns=header)
     return (
         spark.createDataFrame(pdf, schema=schema)
         if schema is not None

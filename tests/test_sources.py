@@ -102,3 +102,76 @@ def test_pdf_reader_gated_not_silently_wrong(spark, tmp_path):
 
         with pytest.raises((PythonException, Py4JJavaError)):
             df.collect()
+
+
+def test_xlsx_roundtrip_without_openpyxl(spark, tmp_path):
+    """The self-contained SpreadsheetML codec makes the Excel path (S2)
+    fully testable without third-party Excel libs: write via the
+    minimal writer, read via read_excel (which falls back to the
+    minimal parser when openpyxl is absent)."""
+    from etl_framework_spark.sources import read_excel, write_xlsx
+
+    p = str(tmp_path / "book.xlsx")
+    write_xlsx(
+        p,
+        ["id", "name", "score", "flag"],
+        [[1, "alpha", 1.5, True], [2, "be & <to>", 2.0, False], [3, None, None, None]],
+    )
+    df = read_excel(spark, p)
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["name"] for r in rows] == ["alpha", "be & <to>", None]
+    assert rows[0]["score"] == 1.5 and rows[1]["flag"] is False
+
+
+def test_xlsx_sheet_selection_and_header(tmp_path):
+    from etl_framework_spark.sources import parse_xlsx, write_xlsx
+
+    p = str(tmp_path / "s.xlsx")
+    write_xlsx(p, ["a", "b"], [[10, "x"]], sheet_name="Data")
+    header, rows = parse_xlsx(p, sheet="Data")
+    assert header == ["a", "b"] and rows == [[10, "x"]]
+    header0, _ = parse_xlsx(p, sheet=0)
+    assert header0 == ["a", "b"]
+
+
+def test_feather_roundtrip_distributed(spark, tmp_path):
+    """Feather sink/scan (L-family): distributed write (one Arrow IPC
+    part per partition) and distributed decode preserving schema."""
+    from etl_framework_spark.sources import read_feather, write_feather
+
+    df = spark.range(0, 1000, 1, 4).selectExpr(
+        "id", "CAST(id AS DOUBLE) * 1.5 AS v", "CAST(id AS STRING) AS s"
+    )
+    path = str(tmp_path / "fth")
+    n_parts = write_feather(df, path)
+    assert n_parts >= 1
+    back = read_feather(spark, path)
+    # nullability flags may relax through the Arrow roundtrip; names and
+    # types must survive exactly
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert back.count() == 1000
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(i * 1.5 for i in range(1000))
+
+
+def test_file_loader_feather_and_xlsx(spark, tmp_path):
+    from etl_framework_spark.pipeline import (
+        DataFrameExtractor,
+        FileLoader,
+        Pipeline,
+    )
+    from etl_framework_spark.sources import read_excel, read_feather
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    pipe = Pipeline(spark, enable_security=False)
+    pipe.register_extractor("mem", DataFrameExtractor())
+    pipe.register_loader("feather", FileLoader(format="feather"))
+    pipe.register_loader("xlsx", FileLoader(format="xlsx"))
+    fpath, xpath = str(tmp_path / "f"), str(tmp_path / "b.xlsx")
+    pipe.run("mem", src, "feather", fpath, strategy="replace")
+    pipe.run("mem", src, "xlsx", xpath, strategy="replace")
+    assert read_feather(spark, fpath).count() == 2
+    assert {r["name"] for r in read_excel(spark, xpath).collect()} == {"a", "b"}
+    with pytest.raises(FileExistsError):
+        pipe.run("mem", src, "xlsx", xpath, strategy="fail")
