@@ -1205,14 +1205,28 @@ def _lang_id_sql() -> str:
     """
 
 
+def _minhash_sig_sql() -> str:
+    """Per-permutation list_min expressions over the one-time shingle
+    hash (constants shared with the Spark side via
+    ``dedup.minhash_params``)."""
+    from etl_framework_spark.operators.dedup import _MINHASH_P, minhash_params
+
+    return ", ".join(
+        f"list_min([(hx * {a} + {b}) % {_MINHASH_P} for hx in h])"
+        for a, b in minhash_params(_MINHASH_K)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "minhash_lsh_pairs": rf"""
-            WITH {_SH_CTE}, sigs AS (
+            WITH {_SH_CTE}, hs AS (
                 SELECT doc_id,
-                       [list_min([md5(x || '#' || CAST(j AS VARCHAR)) for x in s])
-                        for j in range({_MINHASH_K})] AS sig
+                       [(('0x' || substring(md5(x), 1, 15))::BIGINT % 1073741824)
+                        for x in s] AS h
                 FROM sh
+            ), sigs AS (
+                SELECT doc_id, [{_minhash_sig_sql()}] AS sig FROM hs
             ), bands AS (
                 SELECT doc_id, j AS bd,
                        md5(array_to_string(sig[j*{_LSH_ROWS}+1 : j*{_LSH_ROWS}+{_LSH_ROWS}], '|')) AS bh

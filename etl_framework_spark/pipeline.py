@@ -42,6 +42,8 @@ from etl_framework_spark.security import (
     AccessController,
     AuditLogger,
     Operation,
+    SecurityConfig,
+    validate_file_path,
     validate_identifier,
 )
 
@@ -371,6 +373,7 @@ class Pipeline:
         audit_log_file: str | None = None,
         audit_table: str | None = None,
         access_controller: AccessController | None = None,
+        security_config: SecurityConfig | None = None,
     ):
         self.spark = spark
         self.username = username
@@ -380,6 +383,7 @@ class Pipeline:
         self.loaders: dict[str, Loader] = {}
         if enable_security:
             self.access_controller = access_controller or AccessController()
+            self.security_config = security_config or SecurityConfig.from_environment()
             self.audit_logger = AuditLogger(
                 log_file=audit_log_file
                 or os.getenv("ETL_AUDIT_LOG_FILE"),
@@ -387,6 +391,7 @@ class Pipeline:
             )
         else:
             self.access_controller = None
+            self.security_config = None
             self.audit_logger = None
 
     # ---------------------------------------------------------- registry
@@ -446,8 +451,12 @@ class Pipeline:
             raise ValueError(f"extractor {extractor_name!r} not registered")
         if loader_name not in self.loaders:
             raise ValueError(f"loader {loader_name!r} not registered")
-        if key_columns and self.enable_security:
-            for c in key_columns:
+        if self.enable_security:
+            if isinstance(source, str):
+                validate_file_path(source, "read")
+            if isinstance(target, str):
+                validate_file_path(target, "write")
+            for c in key_columns or []:
                 if not validate_identifier(c):
                     raise ValueError(f"invalid key column name: {c!r}")
 
@@ -468,6 +477,34 @@ class Pipeline:
 
             if not self._check_permission(Operation.LOAD, str(target)):
                 raise PermissionError(f"permission denied to load to {target}")
+
+            # Auto-encrypt name-matched sensitive columns before load
+            # (reference pipeline.py:189-235) — lazily, as part of THE
+            # SAME plan, so encryption costs no extra pass either.
+            if (
+                self.enable_security
+                and self.security_config
+                and self.security_config.should_encrypt()
+            ):
+                from etl_framework_spark.transforms.crypto import (
+                    detect_sensitive_columns,
+                    encrypt_columns,
+                )
+
+                sensitive = detect_sensitive_columns(df)
+                if sensitive:
+                    df = encrypt_columns(
+                        df,
+                        sensitive,
+                        self.security_config.encryption_key,
+                        method=self.security_config.encryption_method,
+                    )
+                    if self.audit_logger:
+                        self.audit_logger.log_event(
+                            "data_modification",
+                            self.username,
+                            {"operation": "encryption", "columns": sensitive},
+                        )
 
             # rows_processed via observe(): populated by the write action
             # itself — no second pass over the data.

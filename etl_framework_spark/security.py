@@ -121,6 +121,54 @@ class AccessController:
         )
 
 
+@dataclass
+class SecurityConfig:
+    """Environment-driven security configuration
+    (reference:src/etl_framework/security/config.py:56-101): encryption
+    toggles ride in ``ETL_ENCRYPTION_ENABLED`` / ``ETL_ENCRYPTION_KEY``
+    so policy travels with the deployment, not the code."""
+
+    encryption_enabled: bool = False
+    encryption_key: str | None = None
+    encryption_method: str = "aes"
+
+    @classmethod
+    def from_environment(cls, environ: dict[str, str] | None = None) -> "SecurityConfig":
+        e = os.environ if environ is None else environ
+        return cls(
+            encryption_enabled=e.get("ETL_ENCRYPTION_ENABLED", "").lower() == "true",
+            encryption_key=e.get("ETL_ENCRYPTION_KEY"),
+            encryption_method=e.get("ETL_ENCRYPTION_METHOD", "aes"),
+        )
+
+    def should_encrypt(self) -> bool:
+        return self.encryption_enabled and bool(self.encryption_key)
+
+
+#: reference allowed-extension policy (cli/main.py + input_validator)
+ALLOWED_EXTENSIONS = {
+    "read": {".csv", ".xlsx", ".xls", ".pdf", ".json", ".parquet", ".feather"},
+    "write": {".csv", ".xlsx", ".xls", ".parquet", ".feather", ".json"},
+}
+
+
+def validate_file_path(path: str, operation: str = "read") -> str:
+    """Path safety gate (reference:security/input_validator.py:166-338):
+    rejects traversal and null bytes; when the path has a file
+    extension, it must be on the allowlist for the operation
+    (extension-less paths are table/directory targets — LakeTable,
+    parquet dirs — and pass through)."""
+    if "\x00" in path:
+        raise ValueError("null byte in path")
+    norm = os.path.normpath(path)
+    if ".." in norm.split(os.sep):
+        raise ValueError(f"path traversal rejected: {path!r}")
+    ext = os.path.splitext(norm)[1].lower()
+    if ext and ext not in ALLOWED_EXTENSIONS.get(operation, set()):
+        raise ValueError(f"extension {ext!r} not allowed for {operation}")
+    return path
+
+
 def validate_identifier(name: str) -> bool:
     """Safe registry/SQL identifier (the reference's
     ``validate_sql_identifier``): letters, digits, underscore, not

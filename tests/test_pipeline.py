@@ -257,3 +257,39 @@ def test_grouped_apply_arbitrary_fn(spark):
     out = grouped_apply(df, ["k"], demean, "k int, v double").collect()
     got = sorted((r["k"], r["v"]) for r in out)
     assert got == [(1, -1.0), (1, 1.0), (2, 0.0)]
+
+
+def test_security_config_auto_encrypts_sensitive_columns(spark, tmp_path):
+    """With encryption enabled via config, name-matched sensitive
+    columns are encrypted lazily inside the same load plan and the
+    transformation is audited (reference pipeline.py:189-235); the
+    ciphertext round-trips through decrypt_columns."""
+    from etl_framework_spark.security import SecurityConfig
+    from etl_framework_spark.transforms.crypto import decrypt_columns
+
+    cfg = SecurityConfig(encryption_enabled=True, encryption_key="k" * 16)
+    pipe = _pipe(spark, tmp_path, security_config=cfg)
+    src = spark.createDataFrame(
+        [(1, "alice@example.com", "x")], "id int, email string, note string"
+    )
+    target = str(tmp_path / "t")
+    pipe.run("mem", src, "lake", target, strategy="replace")
+    row = LakeTable(spark, target).current().head()
+    assert row["email"] != "alice@example.com" and row["note"] == "x"
+    dec = decrypt_columns(
+        LakeTable(spark, target).current(), ["email"], "k" * 16
+    ).head()
+    assert dec["email"] == "alice@example.com"
+    audit = LakeTable(spark, str(tmp_path / "audit_table")).current().collect()
+    assert any(r["event_type"] == "data_modification" for r in audit)
+
+
+def test_path_validation_rejects_traversal_and_bad_extension(spark, tmp_path):
+    from etl_framework_spark.security import validate_file_path
+
+    pipe = _pipe(spark, tmp_path)
+    with pytest.raises(ValueError, match="traversal"):
+        pipe.run("mem", "../../etc/passwd.csv", "lake", str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="not allowed"):
+        validate_file_path("/data/in.exe", "read")
+    assert validate_file_path("/lake/mytable", "write")  # extension-less: table dir
