@@ -371,6 +371,41 @@ class LakeTable:
             shard_size=self.manifest_shard_size,
         )
 
+    def _latest_version(self, meta: str) -> int:
+        """Newest committed version WITHOUT an O(versions) directory
+        glob: start from the best-effort ``LATEST`` hint written after
+        each commit and probe forward file-by-file (the hint may lag a
+        concurrent writer by a few commits but never leads). Falls back
+        to the glob only when no hint exists (pre-hint tables). At a
+        sustained one-epoch-per-second ingest the version directory
+        grows unboundedly — the hint keeps refresh cost O(lag), and
+        ``expire_snapshots`` bounds the directory itself."""
+        hint = -1
+        try:
+            with open(os.path.join(meta, "LATEST")) as f:
+                hint = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            pass
+        if hint < 0 or not os.path.exists(os.path.join(meta, "v%012d.json" % hint)):
+            versions = [
+                int(os.path.basename(p)[1:-5])
+                for p in glob.glob(os.path.join(meta, "v*.json"))
+            ]
+            hint = max(versions)
+        while os.path.exists(os.path.join(meta, "v%012d.json" % (hint + 1))):
+            hint += 1
+        return hint
+
+    def _write_latest_hint(self, version: int) -> None:
+        meta = os.path.join(self.path, META_DIR)
+        tmp = os.path.join(meta, f".latest-{uuid.uuid4().hex}")
+        try:
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, os.path.join(meta, "LATEST"))
+        except OSError:  # hint is best-effort; probing corrects a stale one
+            pass
+
     def _load_meta(self) -> None:
         meta = os.path.join(self.path, META_DIR)
         with open(os.path.join(meta, "table.json")) as f:
@@ -381,11 +416,7 @@ class LakeTable:
         self._schemas = {
             int(k): T.StructType.fromJson(v) for k, v in tm["schemas"].items()
         }
-        versions = sorted(
-            int(os.path.basename(p)[1:-5])
-            for p in glob.glob(os.path.join(meta, "v*.json"))
-        )
-        with open(os.path.join(meta, "v%012d.json" % versions[-1])) as f:
+        with open(os.path.join(meta, "v%012d.json" % self._latest_version(meta))) as f:
             s = json.load(f)
         self._snap = self._snapshot_from_json(s)
 
@@ -656,6 +687,7 @@ class LakeTable:
             try:
                 os.link(tmp, final)
                 os.unlink(tmp)
+                self._write_latest_hint(new["version"])
                 self._load_meta()
                 return new["version"]
             except FileExistsError:
@@ -772,6 +804,75 @@ class LakeTable:
             {"operation": "merge", "touched_buckets": touched, **(summary or {})},
             epoch=epoch,
         )
+
+    def expire_snapshots(
+        self, keep_last: int = 10, grace_seconds: int = 3600
+    ) -> dict[str, int]:
+        """Expire old snapshots and garbage-collect unreferenced files
+        (Iceberg's ``expireSnapshots`` + orphan-file removal).
+
+        Keeps the newest ``keep_last`` versions; older snapshot files
+        are deleted (shrinking the time-travel window — that is the
+        point: a sustained one-epoch-per-second ingest otherwise grows
+        the version directory without bound). Data and manifest-shard
+        files referenced by NO surviving snapshot are deleted only if
+        older than ``grace_seconds`` — the standard guard against
+        removing files a concurrent writer has written but not yet
+        committed.
+        """
+        import time
+
+        meta = os.path.join(self.path, META_DIR)
+        latest = self._latest_version(meta)
+        cutoff = latest - keep_last + 1
+        live_data: set[str] = set()
+        live_shards: set[str] = set()
+        expired: list[int] = []
+        for p in glob.glob(os.path.join(meta, "v*.json")):
+            v = int(os.path.basename(p)[1:-5])
+            if v < cutoff:
+                expired.append(v)
+                continue
+            snap = self.snapshot_at(v)
+            if snap.sharded:
+                live_shards.update(snap.shards.values())
+            for files in snap.buckets.values():
+                live_data.update(e["path"] for e in files)
+        now = time.time()
+
+        def removable(fp: str) -> bool:
+            try:
+                return os.path.getmtime(fp) < now - grace_seconds
+            except OSError:
+                return False
+
+        n_data = 0
+        data_root = os.path.join(self.path, DATA_DIR)
+        for fp in glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True):
+            if os.path.relpath(fp, self.path) not in live_data and removable(fp):
+                os.unlink(fp)
+                n_data += 1
+        # drop now-empty commit directories
+        for d in sorted(glob.glob(os.path.join(data_root, "*", "*")), reverse=True) + sorted(
+            glob.glob(os.path.join(data_root, "*")), reverse=True
+        ):
+            if os.path.isdir(d) and not os.listdir(d):
+                os.rmdir(d)
+        n_shards = 0
+        for fp in glob.glob(os.path.join(meta, SHARD_DIR, "*.json")):
+            rel = os.path.relpath(fp, self.path)
+            if rel not in live_shards and removable(fp):
+                os.unlink(fp)
+                n_shards += 1
+        for v in expired:
+            os.unlink(os.path.join(meta, "v%012d.json" % v))
+        self._load_meta()
+        return {
+            "expired_snapshots": len(expired),
+            "deleted_data_files": n_data,
+            "deleted_shard_files": n_shards,
+            "kept_from_version": max(cutoff, 0),
+        }
 
     def file_stats(self) -> dict[str, Any]:
         """Files-per-bucket distribution (maintenance signal)."""

@@ -18,3 +18,6 @@ def spark():
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running soak tests")
+    config.addinivalue_line(
+        "markers", "performance: reference throughput-floor parity tests"
+    )

@@ -293,3 +293,43 @@ def test_path_validation_rejects_traversal_and_bad_extension(spark, tmp_path):
     with pytest.raises(ValueError, match="not allowed"):
         validate_file_path("/data/in.exe", "read")
     assert validate_file_path("/lake/mytable", "write")  # extension-less: table dir
+
+
+@pytest.mark.performance
+def test_pipeline_throughput_floor(spark, tmp_path):
+    """Reference performance floor: a 50k-row pipeline must sustain
+    >1,000 rows/s (reference:tests/functional/workflows/
+    test_business_workflow.py:323-330). The Spark engine clears it by
+    orders of magnitude; the assertion pins the parity contract."""
+    import time
+
+    src = spark.range(50_000).selectExpr(
+        "id", "CAST(id % 97 AS DOUBLE) AS v", "CAST(id AS STRING) AS name"
+    )
+    pipe = Pipeline(spark, enable_security=False)
+    pipe.register_extractor("mem", DataFrameExtractor())
+    pipe.register_loader("lake", LakeLoader(spark, n_buckets=4))
+    pipe.add_transformer(
+        MappingTransformer({"calculations": [{"name": "v2", "formula": "v * 2"}]})
+    )
+    t0 = time.perf_counter()
+    pipe.run("mem", src, "lake", str(tmp_path / "t"), strategy="replace")
+    dt = time.perf_counter() - t0
+    assert 50_000 / dt > 1_000, f"{50_000 / dt:.0f} rows/s below reference floor"
+
+
+@pytest.mark.performance
+def test_encryption_throughput_floor(spark):
+    """Reference: encrypt 10k rows in <5 s
+    (reference:tests/unit/security/test_encryption_unit.py:231-233)."""
+    import time
+
+    from etl_framework_spark.transforms.crypto import decrypt_columns, encrypt_columns
+
+    df = spark.range(10_000).selectExpr("id", "CAST(id AS STRING) AS email")
+    t0 = time.perf_counter()
+    enc = encrypt_columns(df, ["email"], "k" * 16)
+    n = enc.count()
+    assert time.perf_counter() - t0 < 5 and n == 10_000
+    dec = decrypt_columns(enc, ["email"], "k" * 16)
+    assert dec.where("email = CAST(id AS STRING)").count() == 10_000

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -209,3 +211,60 @@ def test_key_column_widening_is_rejected(spark, tmp_path):
     wide = spark.createDataFrame([(2, "b")], "k long, v string")
     with pytest.raises(SchemaEvolutionError, match="key column"):
         load(spark, wide, path, LoadStrategy.APPEND)
+
+
+def test_latest_hint_speeds_refresh_and_survives_staleness(spark, table):
+    """Refresh must find the newest version even when the LATEST hint is
+    stale or missing (it probes forward / falls back to the glob)."""
+    import os
+
+    apply_changes(table, _changes(spark, [("I", 1, 1, "c1", 0, "a")]), epoch_id=0)
+    apply_changes(table, _changes(spark, [("U", 2, 2, "c1", 0, "b")]), epoch_id=1)
+    hint = os.path.join(table.path, "_meta", "LATEST")
+    assert int(open(hint).read()) == table.refresh().version
+    # stale hint: refresh probes forward past it
+    with open(hint, "w") as f:
+        f.write("0")
+    assert table.refresh().version == 2
+    # missing hint: glob fallback
+    os.unlink(hint)
+    assert table.refresh().version == 2
+
+
+def test_expire_snapshots_gc_and_time_travel_window(spark, table):
+    for i in range(6):
+        apply_changes(
+            table, _changes(spark, [("U", i + 1, i, "c1", 0, f"v{i}")]), epoch_id=i
+        )
+    table.refresh()
+    assert table.version == 6
+    import glob as g
+
+    n_files_before = len(
+        g.glob(os.path.join(table.path, "data", "**", "*.parquet"), recursive=True)
+    )
+    stats = table.expire_snapshots(keep_last=2, grace_seconds=0)
+    assert stats["expired_snapshots"] == 5  # v0..v4 gone, v5/v6 kept
+    # live state intact
+    assert table.current().head()["text"] == "v5"
+    assert table.current(version=5).head()["text"] == "v4"
+    # expired version unreadable (file gone)
+    with pytest.raises(FileNotFoundError):
+        table.snapshot_at(2)
+    n_files_after = len(
+        g.glob(os.path.join(table.path, "data", "**", "*.parquet"), recursive=True)
+    )
+    assert n_files_after < n_files_before
+    # every surviving snapshot still fully readable
+    assert table.read(version=6).count() == table.read().count()
+
+
+def test_expire_snapshots_grace_protects_fresh_files(spark, table):
+    apply_changes(table, _changes(spark, [("I", 1, 1, "c1", 0, "a")]), epoch_id=0)
+    apply_changes(table, _changes(spark, [("U", 2, 2, "c1", 0, "b")]), epoch_id=1)
+    table.refresh()
+    stats = table.expire_snapshots(keep_last=1, grace_seconds=3600)
+    # snapshots expired but just-written data files survive the grace
+    assert stats["expired_snapshots"] >= 1
+    assert stats["deleted_data_files"] == 0
+    assert table.current().head()["text"] == "b"
