@@ -45,7 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="etl_framework_spark",
         description="Extract, transform, and load data with Spark.",
     )
-    p.add_argument("--source", required=True, help="Source path (csv/json/parquet).")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--source", help="Source path (csv/json/parquet).")
+    src.add_argument(
+        "--json-string",
+        help="Inline JSON payload to process instead of a source file.",
+    )
     p.add_argument(
         "--extractor",
         default=os.getenv("ETL_DEFAULT_EXTRACTOR", "csv"),
@@ -83,7 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.json_string and args.extractor != "json":
+        parser.error("--json-string requires --extractor json")
+    if args.json_path and args.extractor != "json":
+        parser.error("--json-path requires --extractor json")
 
     from etl_framework_spark.session import get_spark
 
@@ -116,10 +126,17 @@ def main(argv: list[str] | None = None) -> int:
         enable_security=not args.disable_security,
         audit_table=args.audit_table,
     )
+    source = args.source
     if args.extractor == "csv":
         pipe.register_extractor("csv", CsvExtractor(infer=True))
     elif args.extractor == "json":
-        pipe.register_extractor("json", JsonExtractor(flatten=True))
+        if args.json_string:
+            from etl_framework_spark.pipeline import JsonStringExtractor
+
+            pipe.register_extractor("json", JsonStringExtractor(args.json_path))
+            source = args.json_string
+        else:
+            pipe.register_extractor("json", JsonExtractor(flatten=True))
     else:
         pipe.register_extractor("parquet", ParquetExtractor())
 
@@ -147,7 +164,7 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     df = pipe.run_with_options(
-        args.extractor, args.source, args.loader, args.target, options
+        args.extractor, source, args.loader, args.target, options
     )
     if args.verbose:
         print(f"loaded {args.target} with columns {df.columns}", file=sys.stderr)

@@ -73,7 +73,9 @@ class LoadOptions:
     strategy: LoadStrategy = LoadStrategy.REPLACE
     key_columns: list[str] = field(default_factory=list)
     n_buckets: int = 32
-    drop_duplicates: bool = False
+    # reference default (core/load_strategy.py:73): batches dedupe on the
+    # key before load unless explicitly disabled
+    drop_duplicates: bool = True
     extra_options: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -110,7 +112,7 @@ class LoadOptions:
             strategy=out.get("strategy", LoadStrategy.REPLACE),
             key_columns=list(out.get("key_columns") or []),
             n_buckets=int(out.get("n_buckets", 32)),
-            drop_duplicates=bool(out.get("drop_duplicates", False)),
+            drop_duplicates=bool(out.get("drop_duplicates", True)),
             extra_options=extra,
         )
 
@@ -138,7 +140,13 @@ class LoadOptions:
 
 
 class Extractor:
-    """Source -> DataFrame. Subclass or wrap a callable via FnExtractor."""
+    """Source -> DataFrame. Subclass or wrap a callable via FnExtractor.
+
+    ``source_is_path`` tells the pipeline's security gate whether a
+    string source should pass file-path validation (False for inline
+    payloads like JSON strings)."""
+
+    source_is_path = True
 
     def extract(self, spark: SparkSession, source: Any, **kwargs) -> DataFrame:
         raise NotImplementedError
@@ -229,6 +237,37 @@ class DataFrameExtractor(Extractor):
         if not isinstance(source, DataFrame):
             raise TypeError("DataFrameExtractor expects a DataFrame source")
         return source
+
+
+class JsonStringExtractor(Extractor):
+    """Inline JSON payload (reference CLI ``--json-string`` +
+    ``--json-path``, reference:src/etl_framework/cli/main.py:148-187):
+    the source is a JSON string; ``json_path`` dot-navigates to the
+    record array; nested records flatten via ``pd.json_normalize``
+    (driver-side — inline payloads are small by definition), then
+    Arrow-convert to a distributed DataFrame."""
+
+    source_is_path = False
+
+    def __init__(self, json_path: str | None = None):
+        self.json_path = json_path
+
+    def extract(self, spark, source, **kwargs):
+        import json as _json
+
+        import pandas as pd
+
+        data = _json.loads(source) if isinstance(source, str) else source
+        for part in (self.json_path or "").split("."):
+            if part:
+                if not isinstance(data, dict) or part not in data:
+                    raise ValueError(f"json path segment {part!r} not found")
+                data = data[part]
+        if isinstance(data, dict):
+            data = [data]
+        if not isinstance(data, list):
+            raise ValueError("JSON source must resolve to an object or array")
+        return spark.createDataFrame(pd.json_normalize(data, sep="_"))
 
 
 class CleanerTransformer(Transformer):
@@ -452,7 +491,9 @@ class Pipeline:
         if loader_name not in self.loaders:
             raise ValueError(f"loader {loader_name!r} not registered")
         if self.enable_security:
-            if isinstance(source, str):
+            if isinstance(source, str) and getattr(
+                self.extractors[extractor_name], "source_is_path", True
+            ):
                 validate_file_path(source, "read")
             if isinstance(target, str):
                 validate_file_path(target, "write")

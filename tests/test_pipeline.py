@@ -333,3 +333,36 @@ def test_encryption_throughput_floor(spark):
     assert time.perf_counter() - t0 < 5 and n == 10_000
     dec = decrypt_columns(enc, ["email"], "k" * 16)
     assert dec.where("email = CAST(id AS STRING)").count() == 10_000
+
+
+def test_cli_json_string_input(spark, tmp_path):
+    """Reference CLI --json-string/--json-path parity
+    (reference:src/etl_framework/cli/main.py:148-187)."""
+    import json as _json
+
+    from etl_framework_spark.cli import main
+
+    payload = _json.dumps(
+        {"data": {"results": [{"id": 1, "meta": {"score": 0.5}}, {"id": 2, "meta": {"score": 0.9}}]}}
+    )
+    target = str(tmp_path / "t")
+    rc = main(
+        [
+            "--json-string", payload,
+            "--extractor", "json",
+            "--json-path", "data.results",
+            "--loader", "lake",
+            "--target", target,
+            "--strategy", "replace",
+        ]
+    )
+    assert rc == 0
+    rows = {r["id"]: r["meta_score"] for r in LakeTable(spark, target).current().collect()}
+    assert rows == {1: 0.5, 2: 0.9}
+
+
+def test_json_string_extractor_path_errors(spark):
+    from etl_framework_spark.pipeline import JsonStringExtractor
+
+    with pytest.raises(ValueError, match="not found"):
+        JsonStringExtractor("nope.missing").extract(spark, '{"a": 1}')
