@@ -95,7 +95,16 @@ def load(
     n_buckets: int = 32,
     drop_duplicates: bool = False,
 ) -> LakeTable:
-    """Load ``df`` into the LakeTable at ``target`` under ``strategy``."""
+    """Load ``df`` into the LakeTable at ``target`` under ``strategy``.
+
+    Duplicate-key caveat: blind APPEND may create multiple rows per key
+    (same as the reference's INSERT). A later keyed UPDATE/UPSERT
+    resolves to one row per key only within the buckets its batch
+    touches — untouched buckets keep their duplicates (the reference's
+    SQL UPDATE differs again: it rewrites EVERY matching row, keeping
+    cardinality). Pipelines that append and later upsert should dedupe
+    on append (``drop_duplicates=True``) for well-defined per-key
+    state."""
     strategy = LoadStrategy(strategy)
     if strategy.requires_key_columns and not key_columns:
         raise ValueError(f"strategy {strategy.value} requires key_columns")
