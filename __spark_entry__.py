@@ -745,6 +745,39 @@ def q_feather_roundtrip(spark, sf):  # L9: feather sink+scan (Arrow IPC, distrib
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def q_pdf_tables_roundtrip(spark, sf):  # S4: pdf table sink+scan (minimal codec)
+    """Nation rows written as a simple report PDF (self-contained codec,
+    sources/pdfmini.py), read back through the DISTRIBUTED binaryFile +
+    mapInPandas table extractor, header row dropped."""
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.sources import read_pdf_tables
+    from etl_framework_spark.sources.pdfmini import write_simple_pdf
+
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name").orderBy("n_nationkey")
+    pdf0 = n.toPandas()
+    rows = [["n_nationkey", "n_name"]] + [
+        [str(r.n_nationkey), str(r.n_name)] for r in pdf0.itertuples()
+    ]
+    tmp = tempfile.mkdtemp(prefix="entry_pdf_")
+    try:
+        write_simple_pdf(f"{tmp}/nation.pdf", [rows])
+        out = (
+            read_pdf_tables(spark, f"{tmp}/nation.pdf")
+            .where(F.col("row_idx") > 0)
+            .select(
+                "row_idx",
+                F.element_at("cells", 1).alias("nk"),
+                F.element_at("cells", 2).alias("n_name"),
+            )
+        )
+        schema, got = out.schema, out.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(got, schema=schema)
+
+
 def q_csv_roundtrip(spark, sf):  # S1: csv sink+scan with pinned schema
     import shutil
     import tempfile
@@ -1099,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "excel_roundtrip": q_excel_roundtrip,
         "feather_roundtrip": q_feather_roundtrip,
+        "pdf_tables_roundtrip": q_pdf_tables_roundtrip,
         "json_flatten": q_json_flatten,
         "crypto_roundtrip": q_crypto_roundtrip,
         "clean_standardize": q_clean_standardize,
@@ -1375,6 +1409,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n,
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        "pdf_tables_roundtrip": """
+            SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS INT)
+                       AS row_idx,
+                   CAST(n_nationkey AS VARCHAR) AS nk, n_name
+            FROM nation
         """,
         "pipeline_end_to_end": """
             SELECT o_orderkey, o_custkey,

@@ -153,43 +153,52 @@ def read_pdf_tables(
     Distributed shape: ``binaryFile`` scan -> ``mapInPandas`` that opens
     each PDF from bytes and emits (file, page, table, row, cells) rows
     with provenance, mirroring the reference's page/table metadata
-    columns (reference:pdf_extractor.py:124). The pdfplumber call is
-    gated behind import-try (not installed here); everything up to the
-    codec — partitioning, Arrow batching, output schema — is real.
+    columns (reference:pdf_extractor.py:124). pdfplumber is preferred
+    when installed (scanned/complex layouts); without it the
+    self-contained codec (``sources.pdfmini``) parses simple
+    machine-generated report PDFs, so the path stays fully testable.
     """
     binaries = spark.read.format("binaryFile").load(path)
 
     def run(batches: Iterator) -> Iterator:
+        import io
+
         import pandas as pd
 
         try:
-            import pdfplumber  # noqa: F401
-        except ImportError as e:  # pragma: no cover - lib not in container
-            raise NotImplementedError(
-                "read_pdf_tables requires pdfplumber in the executor environment"
-            ) from e
-        import io
+            import pdfplumber
+        except ImportError:
+            pdfplumber = None
+
+        def tables_of(content: bytes):
+            if pdfplumber is not None:
+                with pdfplumber.open(io.BytesIO(content)) as pdf:
+                    return [
+                        page.extract_tables()[:max_tables_per_page]
+                        for page in pdf.pages[:max_pages]
+                    ]
+            from etl_framework_spark.sources.pdfmini import parse_simple_pdf_tables
+
+            # minimal codec: one table per page
+            return [[rows] for rows in parse_simple_pdf_tables(content)[:max_pages]]
 
         for b in batches:
             out = []
             for _, row in b.iterrows():
-                with pdfplumber.open(io.BytesIO(row["content"])) as pdf:
-                    for pno, page in enumerate(pdf.pages[:max_pages]):
-                        for tno, tbl in enumerate(
-                            page.extract_tables()[:max_tables_per_page]
-                        ):
-                            for rno, cells in enumerate(tbl):
-                                out.append(
-                                    {
-                                        "source_file": row["path"],
-                                        "page": pno,
-                                        "table_idx": tno,
-                                        "row_idx": rno,
-                                        "cells": [
-                                            None if c is None else str(c) for c in cells
-                                        ],
-                                    }
-                                )
+                for pno, page_tables in enumerate(tables_of(bytes(row["content"]))):
+                    for tno, tbl in enumerate(page_tables):
+                        for rno, cells in enumerate(tbl):
+                            out.append(
+                                {
+                                    "source_file": row["path"],
+                                    "page": pno,
+                                    "table_idx": tno,
+                                    "row_idx": rno,
+                                    "cells": [
+                                        None if c is None else str(c) for c in cells
+                                    ],
+                                }
+                            )
             yield pd.DataFrame(out, columns=[f.name for f in PDF_TABLE_SCHEMA.fields])
 
     return binaries.select("path", "content").mapInPandas(run, schema=PDF_TABLE_SCHEMA)

@@ -82,26 +82,33 @@ def test_read_json_and_flatten(spark, tmp_path):
     assert got == {(1, 1, "DE"), (1, 2, "DE"), (2, None, "FR")}
 
 
-def test_pdf_reader_gated_not_silently_wrong(spark, tmp_path):
-    p = tmp_path / "f.pdf"
-    p.write_bytes(b"%PDF-1.4 fake")
+def test_pdf_tables_roundtrip_distributed(spark, tmp_path):
+    """S4 end to end without pdfplumber: the minimal codec
+    (sources/pdfmini.py) writes simple report PDFs and the distributed
+    binaryFile + mapInPandas reader recovers (page, row, cells)."""
+    from etl_framework_spark.sources.pdfmini import write_simple_pdf
+
+    rows1 = [["id", "name"], ["1", "alpha (x)"], ["2", "beta"]]
+    rows2 = [["k", "v"], ["9", "page two"]]
+    p = tmp_path / "report.pdf"
+    write_simple_pdf(str(p), [rows1, rows2])
     df = read_pdf_tables(spark, str(p))
-    # schema is real even though the codec is absent
     assert [f.name for f in df.schema.fields] == [
         "source_file", "page", "table_idx", "row_idx", "cells"
     ]
-    try:
-        import pdfplumber  # noqa: F401
+    got = {
+        (r["page"], r["row_idx"]): list(r["cells"]) for r in df.collect()
+    }
+    assert got[(0, 0)] == ["id", "name"]
+    assert got[(0, 1)] == ["1", "alpha (x)"]
+    assert got[(1, 1)] == ["9", "page two"]
+    assert len(got) == 5
 
-        has_lib = True
-    except ImportError:
-        has_lib = False
-    if not has_lib:
-        from py4j.protocol import Py4JJavaError
-        from pyspark.errors.exceptions.captured import PythonException
 
-        with pytest.raises((PythonException, Py4JJavaError)):
-            df.collect()
+def test_pdf_reader_garbage_yields_no_rows(spark, tmp_path):
+    p = tmp_path / "f.pdf"
+    p.write_bytes(b"%PDF-1.4 fake")
+    assert read_pdf_tables(spark, str(p)).count() == 0
 
 
 def test_xlsx_roundtrip_without_openpyxl(spark, tmp_path):
