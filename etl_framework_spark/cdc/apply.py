@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_framework_spark.lakehouse.table import LakeTable, bucket_expr
+from etl_framework_spark.lakehouse.table import (
+    LakeTable,
+    bucket_expr,
+    commit_with_retry,
+)
 from etl_framework_spark.schemas import KEY_COLUMNS, ORDER_COLUMNS
 
 _W = "_lww"
@@ -360,10 +364,21 @@ def apply_changes(
             T.StructField("_deleted", T.BooleanType(), True),
         ]
     )
-    return table.merge(
-        deduped,
-        resolve=resolver,
-        evolve_schema=stored_schema,
-        summary=summary,
-        epoch=(stream_id, epoch_id) if epoch_id is not None else None,
-    )
+    def _merge_once(t: LakeTable) -> int | None:
+        # Re-checked per attempt: a concurrent applier of the SAME
+        # stream may have committed this epoch between our conflicts.
+        if epoch_id is not None and epoch_id <= t.last_epoch(stream_id):
+            return None
+        return t.merge(
+            deduped,
+            resolve=resolver,
+            evolve_schema=stored_schema,
+            summary=summary,
+            epoch=(stream_id, epoch_id) if epoch_id is not None else None,
+        )
+
+    # merge() raises CommitConflict if a concurrent writer touched an
+    # overlapping bucket between read and commit (e.g. a compaction or
+    # another stream's apply); the bounded optimistic loop re-reads and
+    # re-resolves against the fresh snapshot.
+    return commit_with_retry(table, _merge_once)

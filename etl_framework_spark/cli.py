@@ -78,7 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-buckets", type=int, default=None)
     p.add_argument("--mapping", help="JSON mapping file (cleaning + calculations).")
     p.add_argument(
-        "--username", default=os.getenv("ETL_USERNAME", "system"),
+        "--username", default=os.getenv("ETL_USERNAME", "admin"),
         help="Username for access control + audit.",
     )
     p.add_argument("--disable-security", action="store_true")

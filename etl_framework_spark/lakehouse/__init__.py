@@ -8,4 +8,9 @@ overwrite/merge/schema-evolve/snapshot history) map 1:1 onto Iceberg
 ``writeTo``/``MERGE INTO``/``ALTER TABLE ADD COLUMNS``.
 """
 
-from etl_framework_spark.lakehouse.table import LakeTable, SchemaEvolutionError  # noqa: F401
+from etl_framework_spark.lakehouse.table import (  # noqa: F401
+    CommitConflict,
+    LakeTable,
+    SchemaEvolutionError,
+    commit_with_retry,
+)

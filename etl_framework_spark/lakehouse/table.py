@@ -81,6 +81,35 @@ class CommitConflict(RuntimeError):
     re-read and retry the whole operation against the new snapshot."""
 
 
+def commit_with_retry(
+    table: "LakeTable",
+    op,
+    max_retries: int = 5,
+    base_backoff_s: float = 0.05,
+):
+    """The standard bounded optimistic-commit loop.
+
+    ``op(table)`` must perform the WHOLE read-modify-commit operation
+    against the table's current snapshot (e.g. ``lambda t: t.merge(...)``
+    or ``lambda t: t.delete_where(...)``) — a conflicted attempt
+    committed nothing, so re-running it against the refreshed snapshot
+    is safe and re-reads the concurrent writer's files. Retries use
+    jittered exponential backoff so two contending writers de-sync;
+    after ``max_retries`` conflicts the last ``CommitConflict``
+    propagates.
+    """
+    import random
+    import time
+
+    for attempt in range(max_retries):
+        try:
+            return op(table.refresh())
+        except CommitConflict:
+            if attempt == max_retries - 1:
+                raise
+            time.sleep(base_backoff_s * (2**attempt) * (0.5 + random.random()))
+
+
 def bucket_expr(key, n_buckets: int):
     """The canonical row->bucket function. Pure, so any reader can
     recompute bucket membership without consulting file paths.
@@ -360,6 +389,14 @@ class LakeTable:
 
     # --------------------------------------------------------------- meta
     def _snapshot_from_json(self, s: dict[str, Any]) -> Snapshot:
+        if "shards" not in s and "buckets" not in s:
+            # A snapshot written by a NEWER format this reader does not
+            # understand must fail loudly, not read as an empty table.
+            raise ValueError(
+                f"snapshot v{s.get('version')} at {self.path} has neither "
+                "'buckets' nor 'shards' — written by an unsupported "
+                "(newer?) format version"
+            )
         return Snapshot(
             version=s["version"],
             schema_id=s["schema_id"],
@@ -406,10 +443,22 @@ class LakeTable:
         except OSError:  # hint is best-effort; probing corrects a stale one
             pass
 
+    #: table.json format versions this reader understands. v1 = inline
+    #: bucket maps only; v2 adds sharded manifests. Anything else raises
+    #: on open — silently reading a future format as empty loses data.
+    SUPPORTED_FORMAT_VERSIONS = (1, 2)
+
     def _load_meta(self) -> None:
         meta = os.path.join(self.path, META_DIR)
         with open(os.path.join(meta, "table.json")) as f:
             tm = json.load(f)
+        fv = int(tm.get("format_version", 1))
+        if fv not in self.SUPPORTED_FORMAT_VERSIONS:
+            raise ValueError(
+                f"LakeTable at {self.path} has format_version={fv}; this "
+                f"reader supports {self.SUPPORTED_FORMAT_VERSIONS} — "
+                "upgrade the engine to read this table"
+            )
         self.key_columns = tm["key_columns"]
         self.n_buckets = tm["n_buckets"]
         self.manifest_shard_size = int(tm.get("manifest_shard_size", 0))
@@ -772,6 +821,7 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         epoch: tuple[str, int] | None = None,
         touched: list[int] | None = None,
+        on_conflict: str = "raise",
     ) -> int:
         """Copy-on-write MERGE: read only the buckets ``source`` touches,
         apply ``resolve(target_subset, source) -> new_subset``, rewrite
@@ -785,12 +835,25 @@ class LakeTable:
         ``evolve_schema``: the *stored-shape* schema the source implies
         (source itself may be CDC-enveloped and wider than the table);
         defaults to ``source.schema``.
+
+        Concurrency: the per-bucket file lists this merge READ are passed
+        to the commit as ``expected`` preconditions, so a concurrent
+        writer that rewrote or appended to an overlapping bucket between
+        our read and our commit surfaces as ``CommitConflict``
+        (``on_conflict="raise"``, default — re-run the merge via
+        ``commit_with_retry``) instead of silently losing its files.
+        Disjoint-bucket writers still compose without conflict.
         """
         sid = self._ensure_schema(evolve_schema or source.schema)
         current = self._schemas[sid]
 
         if touched is None:
             touched = self.touched_buckets(source)
+        # Capture the file lists we are about to read — the commit's
+        # optimistic precondition (snapshot object is stable; _commit
+        # reloads meta separately).
+        read_view = self.snapshot.buckets_for(touched)
+        read_view = {str(b): list(read_view.get(str(b), [])) for b in touched}
         target_subset = align_to_schema(self.read(buckets=touched), current)
 
         resolved = resolve(target_subset, source)
@@ -799,7 +862,13 @@ class LakeTable:
         new_buckets = self._write_data(aligned, sid)
         dropped = {str(b) for b in touched} - set(new_buckets)
         return self._commit(
-            BucketDelta("replace", new_buckets, dropped=dropped),
+            BucketDelta(
+                "replace",
+                new_buckets,
+                dropped=dropped,
+                expected=read_view,
+                on_conflict=on_conflict,
+            ),
             sid,
             {"operation": "merge", "touched_buckets": touched, **(summary or {})},
             epoch=epoch,

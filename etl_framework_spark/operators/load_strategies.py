@@ -27,7 +27,11 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_framework_spark.lakehouse.table import LakeTable, align_to_schema
+from etl_framework_spark.lakehouse.table import (
+    LakeTable,
+    align_to_schema,
+    commit_with_retry,
+)
 
 
 class LoadStrategy(str, Enum):
@@ -132,9 +136,12 @@ def load(
     else:  # UPDATE / UPSERT
         src = _dedupe_batch(df, keys) if not drop_duplicates else df
         resolve = _keyed_resolve(keep_unmatched_source=(strategy is LoadStrategy.UPSERT))
-        table.merge(
-            src,
-            resolve=lambda tgt, s: resolve(tgt, s, keys),
-            summary={"strategy": strategy.value},
+        commit_with_retry(
+            table,
+            lambda t: t.merge(
+                src,
+                resolve=lambda tgt, s: resolve(tgt, s, keys),
+                summary={"strategy": strategy.value},
+            ),
         )
     return table

@@ -48,9 +48,17 @@ from etl_framework_spark.security import (
 )
 
 
-def strategy_from_string(value: str | LoadStrategy | None) -> LoadStrategy:
-    """Case-insensitive parse with the reference's fall-back-to-REPLACE
-    behavior (reference:src/etl_framework/core/load_strategy.py:27-38)."""
+def strategy_from_string(
+    value: str | LoadStrategy | None, *, fallback: bool = False
+) -> LoadStrategy:
+    """Case-insensitive parse. An UNKNOWN string raises by default: the
+    reference silently falls back to REPLACE
+    (reference:src/etl_framework/core/load_strategy.py:27-38), but
+    REPLACE is destructive — a typo'd ``"upsrt"`` would drop the target
+    table — so the modern entry points (``Pipeline.run``, CLI,
+    ``LoadOptions``) fail loudly instead. ``fallback=True`` restores the
+    reference behavior and is used ONLY by ``Pipeline.run_legacy``.
+    An empty/None value still means REPLACE (the reference default)."""
     if isinstance(value, LoadStrategy):
         return value
     if not value:
@@ -58,7 +66,12 @@ def strategy_from_string(value: str | LoadStrategy | None) -> LoadStrategy:
     try:
         return LoadStrategy(str(value).lower().strip())
     except ValueError:
-        return LoadStrategy.REPLACE
+        if fallback:
+            return LoadStrategy.REPLACE
+        valid = ", ".join(s.value for s in LoadStrategy)
+        raise ValueError(
+            f"unknown load strategy {value!r} (expected one of: {valid})"
+        ) from None
 
 
 @dataclass
@@ -407,7 +420,7 @@ class Pipeline:
     def __init__(
         self,
         spark: SparkSession,
-        username: str = "system",
+        username: str = "admin",
         enable_security: bool = True,
         audit_log_file: str | None = None,
         audit_table: str | None = None,
@@ -610,9 +623,22 @@ class Pipeline:
             **{**options.extra_options, **loader_kwargs},
         )
 
-    def run_legacy(self, extractor_name, source, loader_name, target) -> DataFrame:
+    def run_legacy(
+        self,
+        extractor_name,
+        source,
+        loader_name,
+        target,
+        strategy: str | LoadStrategy | None = None,
+    ) -> DataFrame:
+        """Reference-compatible entry point: an unknown strategy string
+        silently falls back to REPLACE here (and only here)."""
         return self.run(
-            extractor_name, source, loader_name, target, strategy=LoadStrategy.REPLACE
+            extractor_name,
+            source,
+            loader_name,
+            target,
+            strategy=strategy_from_string(strategy, fallback=True),
         )
 
     def shutdown(self) -> None:

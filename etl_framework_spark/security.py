@@ -100,12 +100,11 @@ class AccessController:
                 roles = {Role(r.strip()) for r in roles_str.split(",") if r.strip()}
                 self.users[name] = User(name, roles)
         if not self.users:
-            # Unconfigured: the reference defaults to a lone ``admin``
-            # user; we also admit the default CLI/pipeline username
-            # ``system`` so a freshly-installed CLI run works before any
-            # ETL_USERS policy exists. Setting ETL_USERS disables both.
+            # Unconfigured: the reference admits exactly one ``admin``
+            # user (access_control.py:107-126) — no other implicit
+            # principal, so a default-constructed Pipeline under a
+            # non-admin username is DENIED until ETL_USERS grants it.
             self.users["admin"] = User("admin", {Role.ADMIN})
-            self.users["system"] = User("system", {Role.ADMIN})
 
     def add_user(self, username: str, roles: set[Role]) -> None:
         self.users[username] = User(username, set(roles))
@@ -269,8 +268,16 @@ class AuditLogger:
 
     def flush(self, spark: SparkSession) -> int | None:
         """Append buffered events to the audit LakeTable (one batch).
-        Returns the new table version, or None if nothing to do."""
-        if not self.table_path or not self._buffer:
+        Returns the new table version, or None if nothing to do.
+
+        With no table sink the buffer is STILL cleared: events were
+        already durably written to the JSONL file at log time, and a
+        long-lived pipeline process must not accumulate every audit
+        event in memory forever."""
+        if not self._buffer:
+            return None
+        if not self.table_path:
+            self._buffer.clear()
             return None
         from etl_framework_spark.lakehouse.table import LakeTable
 

@@ -44,10 +44,24 @@ def write_feather(df: DataFrame, path: str) -> int:
             )
             yield pd.DataFrame({"files": [1]})
 
-    return int(
+    n = int(
         df.mapInPandas(write_part, "files int").agg({"files": "sum"}).collect()[0][0]
         or 0
     )
+    if n == 0:
+        # Empty dataset: emit ONE schema-only feather file so a
+        # subsequent read_feather round-trips to an empty DataFrame
+        # instead of FileNotFoundError.
+        import pyarrow as pa
+        import pyarrow.feather as fe
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        fe.write_feather(
+            pa.Table.from_batches([], schema=to_arrow_schema(df.schema)),
+            os.path.join(path, f"part-{uuid.uuid4().hex}.feather"),
+        )
+        n = 1
+    return n
 
 
 def read_feather(spark: SparkSession, path: str) -> DataFrame:

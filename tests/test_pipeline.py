@@ -151,7 +151,61 @@ def test_load_options_validation():
         LoadOptions(strategy="upsert")
     with pytest.raises(ValueError, match="invalid key column"):
         LoadOptions(strategy="upsert", key_columns=["bad name; drop"])
-    assert strategy_from_string("bogus") is LoadStrategy.REPLACE  # reference fallback
+
+
+def test_strategy_string_strictness(spark, tmp_path, src):
+    """A typo'd strategy RAISES everywhere except run_legacy: the
+    reference's silent fall-back-to-REPLACE
+    (reference:core/load_strategy.py:27-38) turns 'upsrt' into a table
+    drop — modern entry points refuse; run_legacy keeps parity."""
+    with pytest.raises(ValueError, match="unknown load strategy"):
+        strategy_from_string("upsrt")
+    with pytest.raises(ValueError, match="unknown load strategy"):
+        LoadOptions(strategy="upsrt", key_columns=["id"])
+    assert strategy_from_string("upsrt", fallback=True) is LoadStrategy.REPLACE
+    assert strategy_from_string(None) is LoadStrategy.REPLACE
+
+    target = str(tmp_path / "t")
+    pipe = _pipe(spark, tmp_path)
+    pipe.run("mem", src, "lake", target, strategy="replace", key_columns=["id"])
+    before = LakeTable(spark, target).current().count()
+    with pytest.raises(ValueError, match="unknown load strategy"):
+        pipe.run("mem", src.limit(1), "lake", target, strategy="upsrt")
+    # the typo'd run must not have REPLACEd (dropped) the table
+    assert LakeTable(spark, target).current().count() == before
+    # run_legacy: reference behavior, unknown string falls back to REPLACE
+    pipe.run_legacy("mem", src.limit(1), "lake", target, strategy="upsrt")
+    assert LakeTable(spark, target).current().count() == 1
+
+
+def test_cli_rejects_unknown_strategy(spark, tmp_path, src):
+    """--strategy itself is argparse-choice-guarded (SystemExit); the
+    typo path is the mapping file's loading_strategy block — it must
+    raise, not silently REPLACE."""
+    from etl_framework_spark.cli import main
+
+    csv_dir = str(tmp_path / "in.csv")
+    src.write.option("header", True).csv(csv_dir)
+    mpath = tmp_path / "mapping.json"
+    mpath.write_text(json.dumps({"loading_strategy": {"strategy": "upsrt"}}))
+    with pytest.raises(ValueError, match="unknown load strategy"):
+        main(
+            [
+                "--source", csv_dir,
+                "--extractor", "csv",
+                "--loader", "lake",
+                "--target", str(tmp_path / "t"),
+                "--mapping", str(mpath),
+            ]
+        )
+    with pytest.raises(SystemExit):  # argparse choice guard
+        main(
+            [
+                "--source", csv_dir,
+                "--target", str(tmp_path / "t"),
+                "--strategy", "upsrt",
+            ]
+        )
 
 
 def test_load_options_from_env():
@@ -359,6 +413,31 @@ def test_cli_json_string_input(spark, tmp_path):
     assert rc == 0
     rows = {r["id"]: r["meta_score"] for r in LakeTable(spark, target).current().collect()}
     assert rows == {1: 0.5, 2: 0.9}
+
+
+def test_unconfigured_access_control_denies_non_admin():
+    """With no ETL_USERS only 'admin' exists — no implicit 'system'
+    principal, so a default security gate is not a no-op (ADVICE r2)."""
+    from etl_framework_spark.security import Operation
+
+    ac = AccessController(users_config="")
+    assert ac.check_permission("admin", Operation.EXECUTE_PIPELINE)
+    assert not ac.check_permission("system", Operation.EXECUTE_PIPELINE)
+
+
+def test_audit_buffer_clears_without_table_sink(spark, tmp_path):
+    """flush() must not accumulate events forever when only the JSONL
+    sink is configured (ADVICE r2): events are durable in the file at
+    log time."""
+    from etl_framework_spark.security import AuditLogger
+
+    log = AuditLogger(log_file=str(tmp_path / "a.jsonl"), table_path=None)
+    log.log_event("x", "admin", {"i": 1})
+    assert len(log.pending) == 1
+    assert log.flush(spark) is None
+    assert log.pending == []
+    # events survived in the JSONL file
+    assert len((tmp_path / "a.jsonl").read_text().strip().splitlines()) == 1
 
 
 def test_json_string_extractor_path_errors(spark):

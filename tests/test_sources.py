@@ -162,6 +162,22 @@ def test_feather_roundtrip_distributed(spark, tmp_path):
     assert back.agg({"v": "sum"}).collect()[0][0] == sum(i * 1.5 for i in range(1000))
 
 
+def test_feather_empty_dataset_roundtrip(spark, tmp_path):
+    """An empty DataFrame round-trips through the feather sink: the
+    writer emits one schema-only file, the reader returns an empty frame
+    with the right schema (ADVICE r2)."""
+    from etl_framework_spark.sources import read_feather, write_feather
+
+    df = spark.range(0).selectExpr("id", "CAST(id AS STRING) AS s")
+    path = str(tmp_path / "fth_empty")
+    assert write_feather(df, path) == 1
+    back = read_feather(spark, path)
+    assert back.count() == 0
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+
+
 def test_file_loader_feather_and_xlsx(spark, tmp_path):
     from etl_framework_spark.pipeline import (
         DataFrameExtractor,
