@@ -1191,24 +1191,31 @@ def _simhash_sql(bits: int = 16) -> str:
 
 
 def _simhash_near_pairs_sql(bits: int, max_hamming: int) -> str:
-    """Replicates the Charikar multi-block candidate scheme: one
-    (block_idx, block_value) row per block (UNION ALL — block boundaries
-    shared with the Spark side via ``simhash_blocks``), join on block
-    equality, exact popcount confirm. 60-bit hashes are sign-free so
-    ``//`` and ``%`` replay the shifts exactly."""
-    from etl_framework_spark.operators.dedup import simhash_blocks
+    """Replicates the Manku combination-table candidate scheme: one
+    (table_idx, packed_key) row per table (UNION ALL — block boundaries
+    and table combinations shared with the Spark side via
+    ``simhash_tables``), join on key equality, exact popcount confirm.
+    60-bit hashes are sign-free so ``//`` and ``%`` replay the shifts
+    exactly, and packed keys stay < 2^60 (no signed-int64 issues)."""
+    from etl_framework_spark.operators.dedup import simhash_tables
+
+    def packed(table):
+        shift, terms = 0, []
+        for off, w in table:
+            terms.append(f"((simhash // {1 << off}) % {1 << w}) * {1 << shift}")
+            shift += w
+        return " + ".join(terms)
 
     blk = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS blk, "
-        f"(simhash // {1 << off}) % {1 << w} AS bv FROM s"
-        for i, (off, w) in enumerate(simhash_blocks(bits, max_hamming))
+        f"SELECT doc_id, simhash, {t} AS tbl, {packed(table)} AS kv FROM s"
+        for t, table in enumerate(simhash_tables(bits, max_hamming))
     )
     return rf"""
         WITH s AS ({_simhash_sql(bits)}), blk AS ({blk})
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
                CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
         FROM blk l JOIN blk r
-          ON l.blk = r.blk AND l.bv = r.bv AND l.doc_id < r.doc_id
+          ON l.tbl = r.tbl AND l.kv = r.kv AND l.doc_id < r.doc_id
         WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
     """
 

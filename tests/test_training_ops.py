@@ -281,6 +281,50 @@ def test_simhash_multiblock_full_recall(spark):
     assert (0, 1) in got
 
 
+def test_simhash_wide_keys_bound_join_fanout(spark):
+    """Manku combination tables (r2 verdict ask #2): a corpus that is
+    pathologically hot on one narrow block — every doc shares the same
+    low 15 bits, which under the minimal 4-block scheme is exactly one
+    join key holding ALL n docs (quadratic fan-out) — must spread over
+    the 30-bit combination keys with bounded per-key group size."""
+    from pyspark.sql import functions as F
+
+    from etl_framework_spark.operators.dedup import simhash_key_expr, simhash_tables
+
+    n = 2000
+    # deterministic pseudo-random high 45 bits, fixed low 15 bits
+    rows = [(i, ((i * 2_654_435_761) % (1 << 45)) << 15 | 0x1234) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    tables = simhash_tables(60, 3)
+    assert len(tables) == 20 and all(len(t) == 3 for t in tables)
+    # every combination key spans >= 20 pseudo-random bits here, so no
+    # key value may collect more than a handful of docs
+    exploded = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), simhash_key_expr(tbl).alias("kv"))
+                    for t, tbl in enumerate(tables)
+                ]
+            )
+        ).alias("b")
+    ).select("b.tbl", "b.kv")
+    max_group = (
+        exploded.groupBy("tbl", "kv").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_group <= 10, f"hot-block corpus produced a {max_group}-row join key"
+    # sanity: the minimal scheme's single low-block key WOULD have been
+    # one n-row group (all docs share the low 15 bits by construction)
+    assert df.select((F.col("simhash") % (1 << 15)).alias("lo")).distinct().count() == 1
+
+    # true degenerate corpora (identical hashes) are handled by the
+    # explicit max_key_rows guard, traded against recall
+    dup = spark.createDataFrame([(i, 7) for i in range(100)], "doc_id long, simhash long")
+    assert simhash_near_pairs(dup, max_hamming=3, bits=60).count() == 100 * 99 // 2
+    assert simhash_near_pairs(dup, max_hamming=3, bits=60, max_key_rows=50).count() == 0
+
+
 def test_ngram_jaccard_candidate_pushdown_matches_unrestricted(spark, docs):
     """With a candidate set, results must equal the unrestricted run
     filtered to those pairs (the semi-join moved before the self-join
