@@ -181,6 +181,9 @@ def resolve_lww_bucketed(
     n_buckets: int,
     partitions: int | None = None,
     strict_ties: bool = False,
+    key_salt: int | None = None,
+    hot_first_keys: Sequence | None = None,
+    hot_key_salt: int | None = None,
 ) -> DataFrame:
     """Single-shuffle merge resolver, aligned with the table's bucket
     layout (the scale path used by ``apply_changes``):
@@ -204,10 +207,21 @@ def resolve_lww_bucketed(
     # every key's events in one task (salt is a pure function of the
     # key): a Zipf-hot conversation otherwise serializes its whole
     # bucket's sort into a single straggler (north-rule skew case).
-    key_salt = max(4, (partitions or n_buckets * 4) // n_buckets)
+    # Callers that measured the skew (``detect_skew``) pass
+    # ``hot_first_keys`` (the hot conversations) + ``hot_key_salt``: ONLY
+    # those conversations' keys get the wide salt, so cold buckets keep
+    # the default low salt (low salt = few files per bucket; a global
+    # wide salt would fragment EVERY bucket's output ~10x).
+    if key_salt is None:
+        key_salt = max(4, (partitions or n_buckets * 4) // n_buckets)
+    salt_mod = F.lit(key_salt)
+    if hot_first_keys is not None and len(hot_first_keys) and hot_key_salt:
+        salt_mod = F.when(
+            F.col(key_col).isin(list(hot_first_keys)), F.lit(int(hot_key_salt))
+        ).otherwise(salt_mod)
     keyed = combined.withColumn("_bucket", bucket_expr(key_col, n_buckets)).withColumn(
         "_ksalt",
-        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(key_salt)).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), salt_mod).cast("int"),
     )
     keyed = keyed.repartition(partitions or n_buckets * 4, "_bucket", "_ksalt")
     # Payload columns join the sort ONLY under strict_ties: a (ts, lsn)
@@ -235,6 +249,86 @@ def resolve_lww_bucketed(
         (F.col("op") == "D").alias("_deleted"),
         "_bucket",
     )  # _ksalt dropped; files per bucket = #salt groups that saw rows
+
+
+def detect_skew(
+    changes: DataFrame,
+    keys: Sequence[str],
+    partitions: int,
+    sample_fraction: float = 0.01,
+    threshold: float = 4.0,
+    max_keys: int = 1000,
+    seed: int = 42,
+) -> dict:
+    """Observed-histogram skew probe (north rule: salted repartitioning
+    for hot-conversation skew, driven by the DATA, not a caller knob).
+
+    One Bernoulli sample (no shuffle over the batch; the tiny sample is
+    aggregated twice, collapsed into ONE job) yields three estimates,
+    each in units of the average per-task row count
+    (``total / partitions``):
+
+    - ``mx``: the hottest FULL key's rows. Above ``threshold`` tasks'
+      worth, the bucketed window resolver cannot split it (a key's
+      events must share a task for the sort) — those keys get the
+      salted two-stage PRE-AGGREGATION.
+    - ``mc``: the hottest ``keys[0]`` (conversation = bucket key) rows.
+      The table buckets on ``keys[0]``, so a Zipf-hot conversation
+      funnels into one bucket; it IS splittable across tasks by the
+      within-bucket key salt — ``key_salt`` below sizes that salt from
+      the observed ratio instead of the static ``partitions/n_buckets``
+      default.
+
+    Returns ``{"hot_keys": [Row...], "salt": int, "key_salt": int|None}``;
+    ``hot_keys`` is bounded by ``max_keys`` (the only collect beyond the
+    3-number stats row, and only runs when a hot key was detected).
+    """
+    import math
+
+    kcounts = (
+        changes.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("_c"))
+    )
+    by_conv = kcounts.groupBy(keys[0]).agg(
+        F.sum("_c").alias("_cc"), F.max("_c").alias("_mk")
+    )
+    stats = by_conv.agg(
+        F.sum("_cc").alias("tot"),
+        F.max("_mk").alias("mx"),
+        F.max("_cc").alias("mc"),
+    ).collect()[0]
+    tot = stats["tot"] or 0
+    out: dict = {"hot_keys": [], "hot_convs": [], "salt": 0, "key_salt": None}
+    if not tot:
+        return out
+    per_task = tot / max(partitions, 1)
+    if (stats["mc"] or 0) > threshold * per_task:
+        # Hot conversations: salt THEIR keys wide so each one's bucket
+        # sort spreads over many tasks. 4x headroom over the measured
+        # ratio: a conversation's (few) distinct turn keys land in salt
+        # groups by hash, so without headroom balls-into-bins collisions
+        # leave 2-5x heavy groups (measured on the 16M skew bench).
+        out["key_salt"] = min(
+            256, max(8, 4 * math.ceil((stats["mc"] or 0) / per_task))
+        )
+        out["hot_convs"] = [
+            r[keys[0]]
+            for r in by_conv.where(F.col("_cc") > threshold * per_task)
+            .orderBy(F.desc("_cc"))
+            .limit(max_keys)
+            .collect()
+        ]
+    if (stats["mx"] or 0) > threshold * per_task:
+        cutoff = threshold * per_task
+        out["hot_keys"] = (
+            kcounts.where(F.col("_c") > cutoff)
+            .orderBy(F.desc("_c"))
+            .limit(max_keys)
+            .collect()
+        )
+        out["salt"] = min(256, max(4, math.ceil((stats["mx"] or 0) / per_task)))
+    return out
 
 
 def compute_lineage(
@@ -266,7 +360,7 @@ def apply_changes(
     changes: DataFrame,
     stream_id: str = "default",
     epoch_id: int | None = None,
-    salt_partitions: int = 0,
+    salt_partitions: int | None = None,
     source_offsets: dict | None = None,
     lineage: bool = True,
 ) -> int | None:
@@ -276,33 +370,81 @@ def apply_changes(
     the batch is a no-op (returns None). The epoch marker rides in the
     same atomic snapshot commit as the data, so a crash between write and
     commit re-applies cleanly and a crash after commit skips cleanly.
+
+    Skew (``salt_partitions``):
+
+    - ``None`` (default) — AUTO: a sampled key histogram
+      (``detect_hot_keys``) finds conversations hot enough to serialize
+      a resolver task. If any, ONLY their events are routed through the
+      salted two-stage pre-aggregation (split by a broadcast semi/anti
+      join — no shuffle) and the collapsed winners rejoin the cold
+      events in the standard single-shuffle bucketed resolver; the cold
+      99%+ keeps the fast plan. No hot keys -> pure fast path.
+    - ``0`` — never salt (the r1/r2 fast path, skew-exposed).
+    - ``> 0`` — force the global salted aggregation path for the whole
+      batch (the original caller-knob behavior).
     """
     if epoch_id is not None and epoch_id <= table.last_epoch(stream_id):
         return None
 
-    if salt_partitions > 0:
-        # Skew path: salted two-stage aggregation collapses hot keys
-        # before the resolve; then the standard resolver runs on the
-        # (small) winner set.
-        deduped = lww_dedupe(changes, salt_partitions=salt_partitions)
-        resolver = lambda tgt, src: resolve_lww(  # noqa: E731
-            tgt, src, keys=table.key_columns
-        )
-    else:
-        # Fast path: feed raw changes to the single-shuffle bucket-aligned
-        # resolver (repartition by bucket -> one window -> direct write).
-        deduped = changes
-        n_part = int(
-            changes.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
-        resolver = lambda tgt, src: resolve_lww_bucketed(  # noqa: E731
+    keys = table.key_columns
+    n_part = int(
+        changes.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    partitions = max(n_part, table.n_buckets)
+    n_hot = 0
+    auto_salt = 0
+    hot_convs: list = []
+    hot_key_salt: int | None = None
+
+    def bucketed_resolver(tgt, src):
+        return resolve_lww_bucketed(
             tgt,
             src,
-            keys=table.key_columns,
-            key_col=table.key_columns[0],
+            keys=keys,
+            key_col=keys[0],
             n_buckets=table.n_buckets,
-            partitions=max(n_part, table.n_buckets),
+            partitions=partitions,
+            hot_first_keys=hot_convs,
+            hot_key_salt=hot_key_salt,
         )
+
+    if salt_partitions is not None and salt_partitions > 0:
+        # Forced global skew path: salted two-stage aggregation collapses
+        # hot keys before the resolve; then the standard resolver runs on
+        # the (small) winner set.
+        deduped = lww_dedupe(changes, salt_partitions=salt_partitions)
+        resolver = lambda tgt, src: resolve_lww(tgt, src, keys=keys)  # noqa: E731
+    elif salt_partitions is None:
+        skew = detect_skew(changes, keys, partitions)
+        hot_convs = skew["hot_convs"]
+        hot_key_salt = skew["key_salt"]
+        auto_salt = skew["salt"] or (hot_key_salt or 0)
+        n_hot = len(skew["hot_keys"])
+        if n_hot:
+            # Hot FULL keys (one (conv, turn) updated ~a task's worth of
+            # times): un-splittable by the window, so collapse ONLY them
+            # in a partial-agg-friendly salted two-stage aggregation
+            # (split off by a broadcast semi/anti join — no shuffle) and
+            # let the winners ride the fast resolver with the cold 99%.
+            spark = changes.sparkSession
+            hot_df = spark.createDataFrame(
+                [tuple(r[k] for k in keys) for r in skew["hot_keys"]],
+                changes.select(*keys).schema,
+            )
+            hot_events = changes.join(F.broadcast(hot_df), on=list(keys), how="left_semi")
+            cold_events = changes.join(F.broadcast(hot_df), on=list(keys), how="left_anti")
+            hot_winners = lww_dedupe(hot_events, keys=keys, salt_partitions=skew["salt"])
+            deduped = cold_events.unionByName(hot_winners.select(*cold_events.columns))
+        else:
+            # Hot CONVERSATION only (many turns): handled inside the
+            # bucketed resolver by the widened key_salt set above.
+            deduped = changes
+        resolver = bucketed_resolver
+    else:
+        # salt_partitions == 0: skew handling explicitly disabled.
+        deduped = changes
+        resolver = bucketed_resolver
     summary: dict = {"stream_id": stream_id}
     if source_offsets:
         summary["source_offsets"] = source_offsets
@@ -351,7 +493,9 @@ def apply_changes(
     _t0 = _time.perf_counter()
     summary["metrics"] = lambda: {
         "apply_seconds": round(_time.perf_counter() - _t0, 3),
-        "salt_partitions": salt_partitions,
+        "salt_partitions": salt_partitions if salt_partitions is not None else auto_salt,
+        "hot_keys_detected": n_hot,
+        "hot_conversations": len(hot_convs),
     }
 
     # Stored-shape schema implied by this batch: payload + ts + _lsn + _deleted.

@@ -60,7 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--loader",
         default=os.getenv("ETL_DEFAULT_LOADER", "lake"),
-        choices=["lake", "file"],
+        choices=["lake", "file", "sql"],
+    )
+    p.add_argument(
+        "--jdbc-url", default=os.getenv("ETL_JDBC_URL"),
+        help="JDBC url for --loader sql (driver jar must be on the classpath).",
     )
     p.add_argument("--target", required=True, help="Target table path or file path.")
     p.add_argument(
@@ -153,6 +157,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.loader == "lake":
         pipe.register_loader("lake", LakeLoader(spark))
+    elif args.loader == "sql":
+        if not args.jdbc_url:
+            parser.error("--loader sql requires --jdbc-url (or ETL_JDBC_URL)")
+        from etl_framework_spark.sinks import JdbcLoader
+
+        pipe.register_loader("sql", JdbcLoader(args.jdbc_url))
     else:
         pipe.register_loader("file", FileLoader(format=args.format))
 

@@ -458,9 +458,11 @@ class Pipeline:
         )
 
     def add_transformer(self, transformer: Transformer | Callable) -> None:
+        # duck-typed: anything with .transform(df) qualifies (e.g.
+        # transforms.EnricherTransformer, defined outside this module)
         self.transformers.append(
             transformer
-            if isinstance(transformer, Transformer)
+            if hasattr(transformer, "transform")
             else FnTransformer(transformer)
         )
 

@@ -43,7 +43,7 @@ def start_ingest(
     max_files_per_trigger: int = 2,
     available_now: bool = True,
     processing_time: str = "5 seconds",
-    salt_partitions: int = 0,
+    salt_partitions: int | None = None,
     on_batch: Callable[[int], None] | None = None,
 ) -> StreamingQuery:
     """Tail ``change_dir`` (recursive parquet file source) into the

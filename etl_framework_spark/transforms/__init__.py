@@ -10,6 +10,9 @@ from etl_framework_spark.transforms.cleaner import (  # noqa: F401
     rename_columns,
     standardize_column_names,
 )
+from etl_framework_spark.transforms.enricher import (  # noqa: F401
+    EnricherTransformer,
+)
 from etl_framework_spark.transforms.crypto import (  # noqa: F401
     decrypt_columns,
     detect_sensitive_columns,

@@ -161,11 +161,76 @@ def test_delete_removes_row(spark, tmp_path):
     assert {(r.conv_id, r.text) for r in rows} == {("c2", "world")}
 
 
-@pytest.mark.parametrize("salt", [0, 8])
+@pytest.mark.parametrize("salt", [0, 8, None])
 def test_skewed_log_matches_oracle(spark, tmp_path, salt):
-    """80% of events on one hot conversation; salted and plain paths agree
+    """80% of events on one hot conversation; unsalted, force-salted and
+    AUTO (sampled hot-key detection + targeted salting) paths all agree
     with the oracle."""
     table = make_table(spark, tmp_path)
     changes = gen_changes(spark, 8000, n_convs=50, hot_frac=0.8, n_hot=1, seed=33)
     apply_changes(table, changes, salt_partitions=salt)
     assert_state_equals_oracle(table, changes.toPandas())
+
+
+def test_detect_skew_hot_conversation_vs_hot_key(spark):
+    """The sampled histogram distinguishes the two skew shapes: a hot
+    CONVERSATION (many turns, splittable by key salt) widens key_salt;
+    a hot FULL KEY (one turn re-updated, un-splittable by the window)
+    lands in hot_keys; a uniform log triggers neither."""
+    from etl_framework_spark.cdc.apply import detect_skew
+
+    skewed = gen_changes(spark, 40_000, n_convs=200, hot_frac=0.5, n_hot=1, seed=3)
+    s = detect_skew(skewed, KEY_COLUMNS, partitions=32, sample_fraction=0.05)
+    assert s["key_salt"] is not None and s["key_salt"] >= 4
+    assert s["hot_keys"] == []  # the hot conv's 50 turns are each cool
+
+    # one single (conv, turn) key carrying 30% of all events
+    base = gen_changes(spark, 20_000, n_convs=500, hot_frac=0.0, seed=5)
+    hot_key = base.limit(1).select("conv_id", "turn_idx")
+    hot_events = (
+        base.sample(0.3, seed=6)
+        .drop("conv_id", "turn_idx")
+        .crossJoin(F.broadcast(hot_key))
+        .select(*base.columns)
+    )
+    mixed = base.unionByName(hot_events)
+    s2 = detect_skew(mixed, KEY_COLUMNS, partitions=32, sample_fraction=0.05)
+    assert len(s2["hot_keys"]) == 1 and s2["salt"] >= 4
+
+    uniform = gen_changes(spark, 40_000, n_convs=20_000, hot_frac=0.0, seed=4)
+    s3 = detect_skew(uniform, KEY_COLUMNS, partitions=32, sample_fraction=0.05)
+    assert s3["hot_keys"] == [] and s3["salt"] == 0 and s3["key_salt"] is None
+
+
+def test_auto_salt_records_metrics_and_matches_oracle(spark, tmp_path):
+    """AUTO mode on a Zipf-hot log: the commit summary carries the
+    salt decision (per-commit metrics, north rule) and the final state
+    still equals the replay oracle."""
+    table = make_table(spark, tmp_path)
+    changes = gen_changes(spark, 30_000, n_convs=100, hot_frac=0.6, n_hot=1, seed=8)
+    apply_changes(table, changes)  # default: auto
+    m = table.snapshot.summary.get("metrics", {})
+    assert m.get("salt_partitions", 0) >= 4  # hot conv -> widened key salt
+    assert_state_equals_oracle(table, changes.toPandas())
+
+
+def test_auto_salt_hot_full_key_matches_oracle(spark, tmp_path):
+    """AUTO mode with an un-splittable hot (conv, turn) key: the salted
+    pre-aggregation path engages and the result matches the oracle."""
+    table = make_table(spark, tmp_path)
+    base = gen_changes(spark, 10_000, n_convs=300, hot_frac=0.0, seed=13)
+    hot_key = base.limit(1).select("conv_id", "turn_idx")
+    # 3x the base volume onto ONE (conv, turn) key: 75% of the union —
+    # above the 4-tasks'-worth cutoff even at the test session's 8
+    # shuffle partitions
+    hot_events = (
+        base.withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(3)])))
+        .drop("_r", "conv_id", "turn_idx")
+        .crossJoin(F.broadcast(hot_key))
+        .select(*base.columns)
+    )
+    mixed = base.unionByName(hot_events)
+    apply_changes(table, mixed)
+    m = table.snapshot.summary.get("metrics", {})
+    assert m.get("hot_keys_detected", 0) >= 1
+    assert_state_equals_oracle(table, mixed.toPandas())

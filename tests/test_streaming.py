@@ -186,3 +186,154 @@ def test_continuous_trigger_soak(spark, tmp_path):
     ]
     assert epochs == sorted(set(epochs)), f"non-monotone epochs: {epochs}"
     assert len(epochs) >= 5
+
+
+@pytest.mark.slow
+def test_chaos_soak_ingest_compact_expire_evolve(spark, tmp_path):
+    """Chaos soak (r2 verdict ask #8): >= 60s of continuous ingest with
+    CONCURRENT compaction, snapshot expiry, readers, and a mid-stream
+    schema evolution (the stream restarts from its checkpoint with the
+    widened binlog schema, as a real reader upgrade would).
+
+    Invariants asserted:
+    - no reader ever observes a partial commit (reads never raise, and
+      every read of the keyed table sees at most one live row per key);
+    - final state equals the pandas replay oracle over every event
+      written, including the evolved column;
+    - applied epochs are exactly-once and strictly monotone.
+    """
+    import threading
+    import time
+
+    from etl_framework_spark.datagen import gen_changes
+    from etl_framework_spark.schemas import CHANGE_SCHEMA_EVOLVED
+
+    change_dir = str(tmp_path / "changes")
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    LakeTable.create(spark, table_path, STORED_SCHEMA, KEY_COLUMNS, n_buckets=8)
+    gen_changes(spark, 500, n_convs=40, seed=200, lsn_start=1).coalesce(1).write.parquet(
+        f"{change_dir}/b0000"
+    )
+
+    stop = threading.Event()
+    failures: list[str] = []
+
+    def maintenance():
+        # concurrent compaction + snapshot expiry against the live table
+        while not stop.is_set():
+            try:
+                t = LakeTable(spark, table_path)
+                t.compact(min_files=2)
+                t.expire_snapshots(keep_last=15, grace_seconds=10)
+            except Exception as e:  # CommitConflict is handled inside; real errors surface
+                failures.append(f"maintenance: {e!r}")
+            stop.wait(3.0)
+
+    def reader():
+        while not stop.is_set():
+            try:
+                t = LakeTable(spark, table_path)
+                cur = t.current()
+                dups = (
+                    cur.groupBy(*KEY_COLUMNS).count().where("count > 1").count()
+                )
+                if dups:
+                    failures.append(f"reader saw {dups} duplicate keys at v{t.version}")
+            except Exception as e:
+                failures.append(f"reader: {e!r}")
+            stop.wait(2.0)
+
+    threads = [threading.Thread(target=maintenance), threading.Thread(target=reader)]
+    for th in threads:
+        th.start()
+
+    lsn, batch = 501, 1
+
+    def write_segments(seconds: float, evolved: bool):
+        nonlocal lsn, batch
+        t0 = time.time()
+        while time.time() - t0 < seconds:
+            gen_changes(
+                spark, 500, n_convs=40, seed=200 + batch, lsn_start=lsn,
+                evolved=evolved,
+            ).coalesce(1).write.parquet(f"{change_dir}/b{batch:04d}")
+            lsn += 500
+            batch += 1
+            time.sleep(1.0)
+
+    def drain(q, timeout=180):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            prog = q.recentProgress
+            if len(prog) >= 3 and all(p["numInputRows"] == 0 for p in prog[-3:]):
+                return True
+            time.sleep(2.0)
+        return False
+
+    try:
+        # phase 1: original schema
+        q = start_ingest(
+            spark, table_path, change_dir, ckpt, CHANGE_SCHEMA,
+            stream_id="chaos", available_now=False, processing_time="1 second",
+            max_files_per_trigger=4,
+        )
+        try:
+            write_segments(30, evolved=False)
+        finally:
+            q.stop()
+        # phase 2: binlog widened (turn_idx int->long, + tool_meta);
+        # restart from the SAME checkpoint with the evolved read schema
+        q2 = start_ingest(
+            spark, table_path, change_dir, ckpt, CHANGE_SCHEMA_EVOLVED,
+            stream_id="chaos", available_now=False, processing_time="1 second",
+            max_files_per_trigger=4,
+        )
+        try:
+            write_segments(30, evolved=True)
+            assert drain(q2), "stream did not drain"
+        finally:
+            q2.stop()
+    finally:
+        stop.set()
+        for th in threads:
+            th.join(timeout=60)
+
+    assert not failures, failures
+    assert batch >= 20
+
+    # table schema evolved mid-soak
+    cols = {f.name for f in LakeTable(spark, table_path).schema.fields}
+    assert "tool_meta" in cols
+
+    all_pdf = (
+        spark.read.schema(CHANGE_SCHEMA_EVOLVED)
+        .option("recursiveFileLookup", "true")
+        .parquet(change_dir)
+        .toPandas()
+    )
+    expect = replay(all_pdf)
+    got = (
+        LakeTable(spark, table_path)
+        .current()
+        .drop("_deleted")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expect)
+    pd.testing.assert_series_equal(
+        got["text"], expect["text"].astype(got["text"].dtype), check_names=False
+    )
+    pd.testing.assert_series_equal(
+        got["tool_meta"],
+        expect["tool_meta"].astype(got["tool_meta"].dtype),
+        check_names=False,
+    )
+    epochs = [
+        h["summary"]["source_offsets"]["epoch"]
+        for h in LakeTable(spark, table_path).history()
+        if h["summary"].get("stream_id") == "chaos"
+        and "source_offsets" in h["summary"]
+    ]
+    assert epochs == sorted(set(epochs)), f"non-monotone epochs: {epochs}"

@@ -246,3 +246,105 @@ def test_detect_sensitive_columns(spark):
         pd.DataFrame([[1, "x", "y", "z"]], columns=["id", "email_addr", "SSN", "name"])
     )
     assert set(detect_sensitive_columns(df)) == {"email_addr", "SSN"}
+
+
+# ---------------------------------------------------------------- enricher
+
+
+def test_enricher_auto_detects_source_column(spark):
+    """Reference detection semantics (enricher.py:146-195): first column
+    whose sampled values contain a lookup key wins; lookup misses stay
+    NULL (Series.map semantics)."""
+    from etl_framework_spark.transforms import EnricherTransformer
+
+    df = spark.createDataFrame(
+        [(1, "US", 9.9), (2, "DE", 8.8), (3, "XX", 7.7)],
+        "id int, country string, v double",
+    )
+    t = EnricherTransformer(
+        {"US": "United States", "DE": "Germany"}, new_column_name="country_name"
+    )
+    out = {r["id"]: r["country_name"] for r in t.transform(df).collect()}
+    assert out == {1: "United States", 2: "Germany", 3: None}
+
+
+def test_enricher_explicit_source_and_missing_column(spark):
+    from etl_framework_spark.transforms import EnricherTransformer
+
+    df = spark.createDataFrame([(1, "US", "DE")], "id int, a string, b string")
+    # explicit source column beats detection order
+    t = EnricherTransformer({"DE": "Germany"}, source_column="b")
+    assert t.transform(df).head()["enriched"] == "Germany"
+    # explicit-but-absent column: no-op (reference returns df unchanged)
+    t2 = EnricherTransformer({"DE": "Germany"}, source_column="nope")
+    assert t2.transform(df).columns == df.columns
+
+
+def test_enricher_security_validation():
+    """Reference filters (enricher.py:35-103): dangerous keys/values
+    dropped, long values truncated, non-scalar entries skipped."""
+    from etl_framework_spark.transforms.enricher import (
+        validate_column_name,
+        validate_lookup_dict,
+    )
+
+    lk = validate_lookup_dict(
+        {
+            "ok": "fine",
+            "1; DROP TABLE x": "evil-key",
+            "xss": "<script>alert(1)</script>",
+            ("tuple",): "bad-key-type",
+            "obj": object(),
+            "long": "x" * 2000,
+        }
+    )
+    assert set(lk) == {"ok", "long"}
+    assert len(lk["long"]) == 1000
+    assert validate_column_name("country")
+    assert not validate_column_name("a;b")
+    assert not validate_column_name("a/../b")
+    assert not validate_column_name("x" * 51)
+
+
+def test_enricher_invalid_new_column_falls_back(spark):
+    from etl_framework_spark.transforms import EnricherTransformer
+
+    df = spark.createDataFrame([(1, "US")], "id int, c string")
+    t = EnricherTransformer({"US": "yes"}, new_column_name="bad;name")
+    assert t.transform(df).head()["enriched_data"] == "yes"
+
+
+def test_enricher_broadcast_path_over_threshold(spark):
+    """Above BROADCAST_THRESHOLD entries the lookup becomes a broadcast
+    join — same results, plan carries BroadcastHashJoin."""
+    from etl_framework_spark.transforms import EnricherTransformer
+
+    lookup = {f"k{i}": i for i in range(500)}
+    df = spark.createDataFrame([(i, f"k{i}") for i in range(600)], "id int, c string")
+    t = EnricherTransformer(lookup, new_column_name="num")
+    out = t.transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r["id"]: r["num"] for r in out.collect()}
+    assert rows[3] == 3 and rows[599] is None
+
+
+def test_enricher_in_pipeline(spark, tmp_path):
+    from etl_framework_spark.lakehouse import LakeTable
+    from etl_framework_spark.pipeline import (
+        DataFrameExtractor,
+        LakeLoader,
+        Pipeline,
+    )
+    from etl_framework_spark.transforms import EnricherTransformer
+
+    pipe = Pipeline(spark, enable_security=False)
+    pipe.register_extractor("mem", DataFrameExtractor())
+    pipe.register_loader("lake", LakeLoader(spark, n_buckets=2))
+    pipe.add_transformer(EnricherTransformer({"US": "United States"}))
+    src = spark.createDataFrame([(1, "US")], "id int, country string")
+    pipe.run("mem", src, "lake", str(tmp_path / "t"), strategy="replace")
+    assert (
+        LakeTable(spark, str(tmp_path / "t")).current().head()["enriched"]
+        == "United States"
+    )
