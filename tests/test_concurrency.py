@@ -159,3 +159,15 @@ def test_format_version_guard(spark, tmp_path):
         json.dump(s, f)
     with pytest.raises(ValueError, match="neither 'buckets' nor 'shards'"):
         LakeTable(spark, path)
+
+
+def test_laketable_satisfies_keyed_table_protocol(spark, tmp_path):
+    """The Iceberg adapter seam: LakeTable structurally satisfies the
+    KeyedTable protocol every engine component programs against (see
+    docs/ICEBERG_ADAPTER.md for the catalog-backed mapping)."""
+    from etl_framework_spark.lakehouse import KeyedTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "p"), SCHEMA, key_columns=["id"], n_buckets=1
+    )
+    assert isinstance(t, KeyedTable)
