@@ -970,6 +970,22 @@ def q_sanitize_strings(spark, sf):  # C4: control-char/script-tag strip
     )
 
 
+def q_enrich_lookup(spark, sf):  # Enricher: auto source-column detection
+    """EnricherTransformer parity
+    (reference:plugins/transformers/enricher.py:146-263): the source
+    column is NOT named — detection probes a driver-side sample and
+    finds 'lang' as the first column whose values hit the lookup keys;
+    the lookup compiles to an inline literal map (codegen, no shuffle)."""
+    from etl_framework_spark.transforms import EnricherTransformer
+
+    d = _t(spark, sf, "documents")
+    t = EnricherTransformer(
+        {"en": "English", "de": "German", "es": "Spanish", "fr": "French"},
+        new_column_name="language_name",
+    )
+    return t.transform(d).select("doc_id", "lang", "language_name")
+
+
 def q_pipeline_end_to_end(spark, sf):  # Pipeline API: extract->transform->load x2
     """The orchestration front door (reference core/pipeline.py:75-246):
     batch 1 loads all orders with one computed column; batch 2 UPSERTs a
@@ -1125,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "mask_pii": q_mask_pii,
         "sanitize_strings": q_sanitize_strings,
+        "enrich_lookup": q_enrich_lookup,
         "cdc_apply_batch": q_cdc_apply_batch,
         "cdc_stream_apply": q_cdc_stream_apply,
         "asof_join": q_asof_join,
@@ -1509,6 +1526,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS clean_hash,
                    CAST(length(text) AS INT) AS clean_len
             FROM clean
+        """,
+        "enrich_lookup": """
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+                             WHEN 'es' THEN 'Spanish' WHEN 'fr' THEN 'French'
+                   END AS language_name
+            FROM documents
         """,
         "knn_ivf_full": """
             WITH q AS (

@@ -255,10 +255,12 @@ def detect_skew(
     changes: DataFrame,
     keys: Sequence[str],
     partitions: int,
-    sample_fraction: float = 0.01,
+    sample_fraction: float = 0.005,
     threshold: float = 4.0,
     max_keys: int = 1000,
     seed: int = 42,
+    base_key_salt: int = 4,
+    min_sample_rows: int = 20,
 ) -> dict:
     """Observed-histogram skew probe (north rule: salted repartitioning
     for hot-conversation skew, driven by the DATA, not a caller knob).
@@ -303,14 +305,26 @@ def detect_skew(
     if not tot:
         return out
     per_task = tot / max(partitions, 1)
-    if (stats["mc"] or 0) > threshold * per_task:
+    # ``min_sample_rows`` floors both flags: on a small sample a handful
+    # of coincident rows would otherwise read as a hot key (at 150
+    # sampled rows the per-key cutoff can be ~5 rows — noise). A truly
+    # hot key in a batch big enough for skew to matter clears the floor
+    # by orders of magnitude.
+    if (stats["mc"] or 0) > max(threshold * per_task * base_key_salt, min_sample_rows):
         # Hot conversations: salt THEIR keys wide so each one's bucket
-        # sort spreads over many tasks. 4x headroom over the measured
-        # ratio: a conversation's (few) distinct turn keys land in salt
-        # groups by hash, so without headroom balls-into-bins collisions
-        # leave 2-5x heavy groups (measured on the 16M skew bench).
+        # sort spreads over many tasks. Gated on the RESIDUAL skew: the
+        # resolver already splits every bucket ``base_key_salt`` ways,
+        # so a conversation only needs the wide salt when its largest
+        # post-base-salt group still exceeds ``threshold`` tasks' worth
+        # — below that, salting costs more (extra files + per-row salt
+        # branch) than the straggler it removes (A/B measured on the
+        # 2M bench log: auto-salting a 10%-conv log lost ~15%).
+        # 4x headroom over the measured ratio: a conversation's (few)
+        # distinct turn keys land in salt groups by hash, so without
+        # headroom balls-into-bins collisions leave 2-5x heavy groups
+        # (measured on the 16M skew bench).
         out["key_salt"] = min(
-            256, max(8, 4 * math.ceil((stats["mc"] or 0) / per_task))
+            256, max(2 * base_key_salt, 4 * math.ceil((stats["mc"] or 0) / per_task))
         )
         out["hot_convs"] = [
             r[keys[0]]
@@ -319,8 +333,8 @@ def detect_skew(
             .limit(max_keys)
             .collect()
         ]
-    if (stats["mx"] or 0) > threshold * per_task:
-        cutoff = threshold * per_task
+    if (stats["mx"] or 0) > max(threshold * per_task, min_sample_rows):
+        cutoff = max(threshold * per_task, min_sample_rows)
         out["hot_keys"] = (
             kcounts.where(F.col("_c") > cutoff)
             .orderBy(F.desc("_c"))
@@ -416,7 +430,12 @@ def apply_changes(
         deduped = lww_dedupe(changes, salt_partitions=salt_partitions)
         resolver = lambda tgt, src: resolve_lww(tgt, src, keys=keys)  # noqa: E731
     elif salt_partitions is None:
-        skew = detect_skew(changes, keys, partitions)
+        skew = detect_skew(
+            changes,
+            keys,
+            partitions,
+            base_key_salt=max(4, partitions // max(table.n_buckets, 1)),
+        )
         hot_convs = skew["hot_convs"]
         hot_key_salt = skew["key_salt"]
         auto_salt = skew["salt"] or (hot_key_salt or 0)

@@ -721,7 +721,14 @@ class LakeTable:
                 new_epochs[epoch[0]] = max(int(new_epochs.get(epoch[0], -1)), epoch[1])
             new: dict[str, Any] = {
                 "version": snap.version + 1,
-                "schema_id": schema_id,
+                # Schema ids are monotone (evolution only appends); a
+                # maintenance commit (compact/delete) planned against a
+                # PRE-evolution snapshot must not regress the table to
+                # its stale schema_id — readers would silently drop the
+                # evolved columns until the next evolving write. Found
+                # by the chaos soak: compact raced a mid-stream schema
+                # widening and un-evolved the table for a window.
+                "schema_id": max(schema_id, snap.schema_id),
                 "summary": summary,
                 "epochs": new_epochs,
             }

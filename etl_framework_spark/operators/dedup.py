@@ -492,6 +492,7 @@ def embedding_near_dup(
     threshold: float = 0.95,
     lsh_bits: int = 0,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Vector pairs (a < b) with cosine >= threshold.
 
@@ -500,7 +501,16 @@ def embedding_near_dup(
     ``lsh_bits`` deterministic pseudo-hyperplanes (hash-derived, no
     driver-side randomness), pair only within buckets. Recall is
     tunable by re-running with rotated seeds and unioning.
-    """
+
+    ``max_bucket``: REQUIRED for scale. On corpora with dense clusters
+    (the realistic case: embeddings cluster by topic) a sign-pattern
+    bucket holds a constant FRACTION of the corpus, so within-bucket
+    pairing is quadratic in n no matter how many bits — measured
+    super-linear on the sf ladder. Buckets above ``max_bucket`` rows
+    are dropped BEFORE the join (window count, spillable — the same
+    guard as ``lsh_candidate_pairs``): a bucket that big is a dense
+    cluster where pair enumeration is the wrong tool (cluster-assign
+    instead, see ``similarity.ivf_build``)."""
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
     if lsh_bits > 0:
@@ -529,6 +539,15 @@ def embedding_near_dup(
             F.lit("1"),
         ).otherwise(F.lit("0"))
         base = base.withColumn("bucket", F.concat(*[bit(k) for k in range(lsh_bits)]))
+        if max_bucket is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("bucket")
+            base = (
+                base.withColumn("_n", F.count("*").over(w))
+                .where(F.col("_n") <= max_bucket)
+                .drop("_n")
+            )
         l, r = base.alias("l"), base.alias("r")
         pairs = l.join(
             r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))

@@ -1,0 +1,171 @@
+"""Scale-factor ladder: the headline suite + the dedup/ANN scale-path
+family + CDC apply, at sf0.1 and sf1 on identically-generated data
+(scripts/gen_sf.py), reporting the per-query scaling factor.
+
+The r2 verdict's top ask: every recorded number was sf0.1, where
+constant overheads dominate and plan cliffs hide. Data volume ratio
+here is 10x — a query whose runtime ratio is ~<=10 scales linearly or
+better (sub-linear is expected where constant overhead amortizes); a
+ratio clearly above 10 is super-linear and gets flagged (and fixed).
+
+The dedup family runs its SCALE-PATH forms (LSH-confirmed jaccard,
+hyperplane-LSH embedding near-dup) — the all-pairs forms exist for
+oracle parity only and are quadratic by construction.
+
+Writes BENCH/sf_ladder.json.
+Usage: python scripts/bench_sf_ladder.py [sf_hi] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_JOB = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import bench as benchmod
+import __spark_entry__ as entrymod
+from etl_framework_spark.session import get_spark
+
+sf_dir = {sf_dir!r}
+spark = get_spark(app_name="ladder", master="local[{cpus}]")
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+qs = entrymod.queries()
+times = {{}}
+
+# untimed warm-up (bench.py policy: exclude JVM/codegen warm-up)
+spark.read.parquet(f"{{sf_dir}}/lineitem.parquet").selectExpr(
+    "sum(l_extendedprice)", "count(*)").write.format("noop").mode("overwrite").save()
+
+def timed(name, build):
+    best = float("inf")
+    for _ in range({trials}):
+        df = build()
+        t0 = time.perf_counter()
+        force(df)
+        best = min(best, time.perf_counter() - t0)
+    times[name] = round(best, 3)
+    print(f"[ladder {{sf_dir}}] {{name}}: {{best:.3f}}s", file=sys.stderr)
+
+for name in benchmod.HEADLINE:
+    timed(name, lambda name=name: qs[name](spark, sf_dir))
+
+# ---- dedup / ANN scale-path family ----
+from pyspark.sql import functions as F
+from etl_framework_spark.operators import (
+    embedding_near_dup, lsh_candidate_pairs, minhash_signatures,
+    ngram_jaccard_pairs, simhash64, simhash_near_pairs,
+)
+
+docs = lambda: spark.read.parquet(f"{{sf_dir}}/documents.parquet")
+embs = lambda: spark.read.parquet(f"{{sf_dir}}/embeddings.parquet")
+
+timed("minhash_lsh", lambda: lsh_candidate_pairs(
+    minhash_signatures(docs(), num_hashes=16), bands=4, rows_per_band=4, max_bucket=50))
+timed("jaccard_confirm", lambda: ngram_jaccard_pairs(
+    docs(), threshold=0.5,
+    candidates=lsh_candidate_pairs(
+        minhash_signatures(docs(), num_hashes=16), bands=4, rows_per_band=4, max_bucket=50)))
+timed("simhash", lambda: simhash64(docs(), bits=60))
+timed("simhash_near_pairs", lambda: simhash_near_pairs(
+    simhash64(docs(), bits=60), max_hamming=3, bits=60))
+timed("embedding_near_dup_lsh", lambda: embedding_near_dup(
+    embs(), threshold=0.9, lsh_bits=16, max_bucket=64))
+
+# ---- CDC apply (events volume scales with sf) ----
+cdc_sec, applied = benchmod.bench_cdc_apply(spark, {n_events})
+times["cdc_apply"] = round(cdc_sec, 3)
+print(f"[ladder {{sf_dir}}] cdc_apply: {{applied}} ev in {{cdc_sec:.2f}}s", file=sys.stderr)
+
+print(json.dumps({{"sf_dir": sf_dir, "times": times, "cdc_events": applied}}))
+spark.stop()
+"""
+
+
+def run_sf(sf_dir: str, n_events: int, cpus: int, trials: int = 2) -> dict:
+    code = _JOB.format(
+        repo=str(REPO), sf_dir=sf_dir, cpus=cpus, trials=trials, n_events=n_events
+    )
+    env = dict(os.environ)
+    env["TMPDIR"] = "/dev/shm" if os.path.isdir("/dev/shm") else env.get("TMPDIR", "/tmp")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=5400, cwd=str(REPO), env=env,
+    )
+    sys.stderr.write(
+        "\n".join(
+            line for line in out.stderr.splitlines() if line.startswith("[ladder")
+        )
+        + "\n"
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"ladder run {sf_dir} failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    sf_hi = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="sfladder_", dir=base)
+    dirs = {}
+    try:
+        for sf in (0.1, sf_hi):
+            d = os.path.join(root, f"sf{sf}")
+            subprocess.run(
+                [sys.executable, str(REPO / "scripts" / "gen_sf.py"), str(sf), d, str(cpus)],
+                check=True, timeout=3600, cwd=str(REPO), capture_output=True, text=True,
+            )
+            dirs[sf] = d
+            print(f"[ladder] generated sf{sf}", file=sys.stderr)
+
+        lo = run_sf(dirs[0.1], int(0.1 * 20_000_000), cpus)
+        hi = run_sf(dirs[sf_hi], int(sf_hi * 20_000_000), cpus)
+        ratio_data = sf_hi / 0.1
+        rows = {}
+        for q, t_lo in lo["times"].items():
+            t_hi = hi["times"].get(q)
+            rows[q] = {
+                "sf0.1_sec": t_lo,
+                f"sf{sf_hi}_sec": t_hi,
+                "scale_factor": round(t_hi / t_lo, 2) if t_lo else None,
+            }
+        flagged = [
+            q for q, r in rows.items()
+            if r["scale_factor"] and r["scale_factor"] > ratio_data * 1.3
+        ]
+        payload = {
+            "sf_pair": [0.1, sf_hi],
+            "data_ratio": ratio_data,
+            "cpus": cpus,
+            "queries": rows,
+            "superlinear_flagged": flagged,
+            "note": (
+                "scale_factor = t(sf_hi)/t(sf0.1); data ratio is "
+                f"{ratio_data:.0f}x, so <= {ratio_data:.0f} is linear-or-better; "
+                "flag threshold 1.3x data ratio absorbs best-of-2 noise"
+            ),
+        }
+        (REPO / "BENCH").mkdir(exist_ok=True)
+        (REPO / "BENCH" / "sf_ladder.json").write_text(json.dumps(payload, indent=2))
+        print(json.dumps(payload))
+        return 0
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -180,9 +180,15 @@ def test_detect_skew_hot_conversation_vs_hot_key(spark):
     from etl_framework_spark.cdc.apply import detect_skew
 
     skewed = gen_changes(spark, 40_000, n_convs=200, hot_frac=0.5, n_hot=1, seed=3)
-    s = detect_skew(skewed, KEY_COLUMNS, partitions=32, sample_fraction=0.05)
-    assert s["key_salt"] is not None and s["key_salt"] >= 4
+    s = detect_skew(skewed, KEY_COLUMNS, partitions=128, sample_fraction=0.05)
+    assert s["key_salt"] is not None and s["key_salt"] >= 8
     assert s["hot_keys"] == []  # the hot conv's 50 turns are each cool
+    # residual-skew gate: with a base salt already spreading the bucket
+    # 32 ways, the same conversation is NOT worth wide-salting
+    s_gated = detect_skew(
+        skewed, KEY_COLUMNS, partitions=128, sample_fraction=0.05, base_key_salt=32
+    )
+    assert s_gated["key_salt"] is None
 
     # one single (conv, turn) key carrying 30% of all events
     base = gen_changes(spark, 20_000, n_convs=500, hot_frac=0.0, seed=5)
@@ -207,10 +213,22 @@ def test_auto_salt_records_metrics_and_matches_oracle(spark, tmp_path):
     salt decision (per-commit metrics, north rule) and the final state
     still equals the replay oracle."""
     table = make_table(spark, tmp_path)
-    changes = gen_changes(spark, 30_000, n_convs=100, hot_frac=0.6, n_hot=1, seed=8)
-    apply_changes(table, changes)  # default: auto
+    changes = gen_changes(spark, 30_000, n_convs=100, hot_frac=0.8, n_hot=1, seed=8)
+    # widen the partition count so the hot conversation exceeds the
+    # residual-skew gate (at the test session's 8 partitions the base
+    # salt already absorbs it — correctly no salting)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    try:
+        apply_changes(table, changes)  # default: auto
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     m = table.snapshot.summary.get("metrics", {})
-    assert m.get("salt_partitions", 0) >= 4  # hot conv -> widened key salt
+    assert m.get("salt_partitions", 0) >= 8  # hot conv -> widened key salt
+    assert m.get("hot_conversations", 0) == 1
+    # the conv's individual turns are cool; the min-sample floor keeps
+    # sampling noise from flagging them as hot full keys
+    assert m.get("hot_keys_detected", 0) == 0
     assert_state_equals_oracle(table, changes.toPandas())
 
 

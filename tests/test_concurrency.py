@@ -171,3 +171,38 @@ def test_laketable_satisfies_keyed_table_protocol(spark, tmp_path):
         spark, str(tmp_path / "p"), SCHEMA, key_columns=["id"], n_buckets=1
     )
     assert isinstance(t, KeyedTable)
+
+
+def test_concurrent_compact_does_not_regress_schema(spark, tmp_path):
+    """A maintenance commit planned against a pre-evolution snapshot
+    must not publish its stale schema_id (found by the chaos soak:
+    compact raced a schema widening and readers dropped the new column
+    until the next evolving write)."""
+    path = str(tmp_path / "t")
+    LakeTable.create(spark, path, SCHEMA, key_columns=["id"], n_buckets=2)
+    w = LakeTable(spark, path)
+    # find two ids landing in different buckets, then fragment one bucket
+    from etl_framework_spark.lakehouse.table import bucket_expr
+
+    probe = spark.range(20).select(
+        "id", bucket_expr(F.col("id").cast("long"), 2).alias("b")
+    ).collect()
+    id_b0 = [r["id"] for r in probe if r["b"] == 0]
+    id_b1 = [r["id"] for r in probe if r["b"] == 1]
+    w.append(_df(spark, [(id_b0[0], "x")]))
+    w.append(_df(spark, [(id_b0[1], "y")]))  # bucket 0 now has 2 files
+
+    stale = LakeTable(spark, path)  # snapshot BEFORE evolution
+    # another writer evolves the schema via an append to bucket 1
+    evolved = spark.createDataFrame(
+        [(id_b1[0], "z", "EXTRA")], "id long, v string, extra string"
+    )
+    LakeTable(spark, path).append(evolved)
+    assert "extra" in {f.name for f in LakeTable(spark, path).schema.fields}
+
+    stale.compact(min_files=2)  # rewrites bucket 0 from the stale snapshot
+
+    t = LakeTable(spark, path)
+    assert "extra" in {f.name for f in t.schema.fields}, "schema regressed"
+    rows = {r["id"]: r["extra"] for r in t.current().collect()}
+    assert rows[id_b1[0]] == "EXTRA"

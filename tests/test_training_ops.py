@@ -339,3 +339,33 @@ def test_ngram_jaccard_candidate_pushdown_matches_unrestricted(spark, docs):
         for r in ngram_jaccard_pairs(docs, threshold=0.1, candidates=cands).collect()
     }
     assert restricted == {(0, 2): full[(0, 2)]}
+
+
+def test_embedding_near_dup_bucket_guard(spark):
+    """Dense-cluster corpora make hyperplane buckets quadratic; the
+    max_bucket guard drops oversized buckets before the join (sf-ladder
+    finding, round 3). Small buckets are unaffected."""
+    from pyspark.sql import functions as F
+
+    from etl_framework_spark.operators.dedup import embedding_near_dup
+
+    # 200 near-identical vectors (one dense cluster) + 20 dispersed
+    dense = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda d: (d + 1.0 + (F.col("id") % 3) * 1e-4).cast("double"),
+        ).alias("embedding"),
+    )
+    sparse = spark.range(200, 220).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda d: ((F.xxhash64(F.col("id"), d) % 1000) / 500.0 - 1.0).cast("double"),
+        ).alias("embedding"),
+    )
+    emb = dense.unionByName(sparse)
+    unguarded = embedding_near_dup(emb, threshold=0.99, lsh_bits=8).count()
+    assert unguarded >= 200 * 199 // 2  # dense cluster emits quadratic pairs
+    guarded = embedding_near_dup(emb, threshold=0.99, lsh_bits=8, max_bucket=50).count()
+    assert guarded < 200  # oversized bucket dropped before the join
