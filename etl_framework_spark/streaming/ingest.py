@@ -45,6 +45,10 @@ def start_ingest(
     processing_time: str = "5 seconds",
     salt_partitions: int | None = None,
     on_batch: Callable[[int], None] | None = None,
+    maintenance_every: int = 0,
+    compact_min_files: int = 4,
+    expire_keep_last: int = 50,
+    expire_grace_seconds: int = 3600,
 ) -> StreamingQuery:
     """Tail ``change_dir`` (recursive parquet file source) into the
     LakeTable at ``table_path``.
@@ -53,6 +57,14 @@ def start_ingest(
     deterministic mode used by tests and bench; ``False`` runs a
     continuous ``processing_time`` trigger. ``on_batch`` is a test hook
     called after each successful apply (e.g. to simulate a crash).
+
+    ``maintenance_every=N`` (0 = off) runs table maintenance every N
+    applied epochs, inline between batches: ``compact`` (copy-on-write,
+    ``keep_fresh`` conflict policy — safe next to any writer) and
+    ``expire_snapshots`` (bounds the version directory, which otherwise
+    grows one file per epoch forever). Failures are logged to stderr
+    and never fail the stream — maintenance is best-effort by design;
+    the chaos soak covers the concurrent case.
     """
     reader = (
         spark.readStream.schema(schema)
@@ -72,6 +84,17 @@ def start_ingest(
             salt_partitions=salt_partitions,
             source_offsets={"epoch": int(epoch_id)},
         )
+        if maintenance_every > 0 and int(epoch_id) > 0 and int(epoch_id) % maintenance_every == 0:
+            import sys as _sys
+
+            try:
+                table.refresh().compact(min_files=compact_min_files)
+                table.expire_snapshots(
+                    keep_last=expire_keep_last,
+                    grace_seconds=expire_grace_seconds,
+                )
+            except Exception as e:  # best-effort; the stream must not die
+                print(f"[ingest] maintenance skipped: {e!r}", file=_sys.stderr)
         if on_batch is not None:
             on_batch(int(epoch_id))
 

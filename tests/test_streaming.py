@@ -337,3 +337,93 @@ def test_chaos_soak_ingest_compact_expire_evolve(spark, tmp_path):
         and "source_offsets" in h["summary"]
     ]
     assert epochs == sorted(set(epochs)), f"non-monotone epochs: {epochs}"
+
+
+def test_inline_maintenance_compacts_and_expires(spark, tmp_path):
+    """maintenance_every: the ingest daemon compacts fragmented buckets
+    and expires old snapshots between epochs without changing results."""
+    change_dir = str(tmp_path / "changes")
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    write_change_log(spark, change_dir, n_events=6000, n_batches=12, n_convs=40, seed=5)
+    LakeTable.create(spark, table_path, STORED_SCHEMA, KEY_COLUMNS, n_buckets=4)
+    all_pdf = (
+        spark.read.schema(CHANGE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(change_dir)
+        .toPandas()
+    )
+    q = start_ingest(
+        spark, table_path, change_dir, ckpt, CHANGE_SCHEMA,
+        stream_id="maint", max_files_per_trigger=1,
+        maintenance_every=3, compact_min_files=2,
+        expire_keep_last=5, expire_grace_seconds=3600,
+    )
+    q.awaitTermination()
+    assert_matches_oracle(spark, table_path, all_pdf)
+    t = LakeTable(spark, table_path)
+    stats = t.file_stats()
+    # 12 merges into 4 buckets would accumulate many files per bucket;
+    # periodic compaction keeps the per-bucket file count small
+    assert stats["max_files_per_bucket"] <= 4, stats
+    # expire_snapshots bounded the version directory
+    import glob
+    import os
+
+    versions = glob.glob(os.path.join(table_path, "_meta", "v*.json"))
+    assert len(versions) <= 10, len(versions)
+
+
+def test_two_concurrent_streams_same_table(spark, tmp_path):
+    """Two independent binlog streams (disjoint conversation spaces,
+    own checkpoints and stream_ids) drain CONCURRENTLY into the same
+    table: merge preconditions + the retry loop make every commit land,
+    and the final state equals the replay oracle over the union."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from etl_framework_spark.datagen import gen_changes
+
+    table_path = str(tmp_path / "table")
+    LakeTable.create(spark, table_path, STORED_SCHEMA, KEY_COLUMNS, n_buckets=4)
+    dirs = {}
+    for name, seed in [("a", 11), ("b", 22)]:
+        d = str(tmp_path / f"log_{name}")
+        # distinct conv spaces via distinct seeds and lsn ranges
+        gen_changes(
+            spark, 3000, n_convs=30, seed=seed, lsn_start=1 if name == "a" else 100_000
+        ).withColumn("conv_id", F.concat(F.lit(name + "-"), F.col("conv_id"))).write.parquet(
+            f"{d}/b0"
+        )
+        dirs[name] = d
+
+    errs: list[Exception] = []
+
+    def drain(name: str):
+        try:
+            q = start_ingest(
+                spark, table_path, dirs[name], str(tmp_path / f"ck_{name}"),
+                CHANGE_SCHEMA, stream_id=name, max_files_per_trigger=1,
+            )
+            q.awaitTermination()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=drain, args=(n,)) for n in ("a", "b")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errs, errs
+
+    all_pdf = (
+        spark.read.schema(CHANGE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(dirs["a"], dirs["b"])
+        .toPandas()
+    )
+    assert_matches_oracle(spark, table_path, all_pdf)
+    # both streams' epoch markers committed
+    t = LakeTable(spark, table_path)
+    assert t.last_epoch("a") >= 0 and t.last_epoch("b") >= 0
