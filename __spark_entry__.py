@@ -660,6 +660,40 @@ def q_cdc_apply_batch(spark, sf):  # batch apply_changes -> final table state
     return spark.createDataFrame(out, schema=schema)
 
 
+def q_cdc_changes_feed(spark, sf):  # CDC-out: row-level diff between versions
+    """§2.10 change feed (``LakeTable.changes_between``): apply the log
+    in two lsn-halves, emit one I/U/D row per key whose state changed
+    between the two committed versions. Bucket-pruned on the engine
+    side (only buckets whose file lists moved are read); the oracle
+    recomputes the diff from two LWW replays."""
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.cdc import apply_changes
+    from etl_framework_spark.lakehouse import LakeTable
+    from etl_framework_spark.schemas import KEY_COLUMNS, TRANSCRIPT_SCHEMA
+
+    from pyspark.sql import types as T
+
+    changes = _events_as_changes(spark, sf)
+    mid = changes.agg(F.max("lsn")).head()[0] // 2
+    tmp = tempfile.mkdtemp(prefix="entry_feed_")
+    table = LakeTable.create(
+        spark, f"{tmp}/t", schema=T.StructType(TRANSCRIPT_SCHEMA.fields),
+        key_columns=KEY_COLUMNS, n_buckets=16,
+    )
+    apply_changes(table, changes.where(F.col("lsn") <= mid), stream_id="feed", epoch_id=0)
+    v1 = table.version
+    apply_changes(table, changes.where(F.col("lsn") > mid), stream_id="feed", epoch_id=1)
+    v2 = table.version
+    feed = table.changes_between(v1, v2).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "_lsn", "_change_type"
+    )
+    schema, out = feed.schema, feed.toPandas()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, schema=schema)
+
+
 def q_cdc_stream_apply(spark, sf):  # full streaming path -> final state
     import shutil
     import tempfile
@@ -1143,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_strings": q_sanitize_strings,
         "enrich_lookup": q_enrich_lookup,
         "cdc_apply_batch": q_cdc_apply_batch,
+        "cdc_changes_feed": q_cdc_changes_feed,
         "cdc_stream_apply": q_cdc_stream_apply,
         "asof_join": q_asof_join,
         "percentiles": q_percentiles,
@@ -1384,6 +1419,42 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "cdc_apply_batch": _CDC_REPLAY_ORACLE,
+        "cdc_changes_feed": """
+            WITH ch AS (
+                SELECT CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+                       event_id AS lsn, ts,
+                       'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                       CAST(event_id % 7 AS INT) AS turn_idx,
+                       event_type AS role,
+                       event_type || '#' || CAST(event_id AS VARCHAR) AS text
+                FROM events
+            ), mid AS (SELECT MAX(event_id) // 2 AS m FROM events),
+            s1 AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                    FROM ch WHERE lsn <= (SELECT m FROM mid)
+                ) WHERE rn = 1 AND op <> 'D'
+            ), s2 AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                    FROM ch
+                ) WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT COALESCE(s2.conv_id, s1.conv_id) AS conv_id,
+                   COALESCE(s2.turn_idx, s1.turn_idx) AS turn_idx,
+                   s2.role, s2.text, s2.ts, s2.lsn AS _lsn,
+                   CASE WHEN s1.lsn IS NULL THEN 'I'
+                        WHEN s2.lsn IS NULL THEN 'D'
+                        WHEN s2.lsn <> s1.lsn THEN 'U'
+                   END AS _change_type
+            FROM s2 FULL OUTER JOIN s1
+              ON s2.conv_id = s1.conv_id AND s2.turn_idx = s1.turn_idx
+            WHERE (CASE WHEN s1.lsn IS NULL THEN 'I'
+                        WHEN s2.lsn IS NULL THEN 'D'
+                        WHEN s2.lsn <> s1.lsn THEN 'U' END) IS NOT NULL
+        """,
         "cdc_stream_apply": _CDC_REPLAY_ORACLE,
         "asof_join": """
             WITH p AS (
