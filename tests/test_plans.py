@@ -128,3 +128,26 @@ def test_ivf_stored_probe_is_partition_pruned(spark, tmp_path):
     # results on the stored form match the in-memory form exactly
     mem = knn_ivf(assigned, cents, qvec, k=5, nprobe=2)
     assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_bucketed_resolver_hot_salt_keeps_single_exchange(spark):
+    """The targeted hot-conversation salt (detect_skew output) is a pure
+    column expression — it must not add a shuffle to the resolve plan."""
+    from etl_framework_spark.cdc.apply import resolve_lww_bucketed
+    from etl_framework_spark.schemas import CHANGE_SCHEMA, KEY_COLUMNS, TRANSCRIPT_SCHEMA
+
+    stored = T.StructType(
+        TRANSCRIPT_SCHEMA.fields
+        + [
+            T.StructField("_lsn", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
+        ]
+    )
+    target = spark.createDataFrame([], stored)
+    src = spark.createDataFrame([], CHANGE_SCHEMA)
+    out = resolve_lww_bucketed(
+        target, src, KEY_COLUMNS, "conv_id", 8, partitions=8,
+        hot_first_keys=["conv-1", "conv-2"], hot_key_salt=64,
+    )
+    plan = plan_of(out)
+    assert plan.count("Exchange") == 1, plan
