@@ -281,9 +281,11 @@ def detect_skew(
       the observed ratio instead of the static ``partitions/n_buckets``
       default.
 
-    Returns ``{"hot_keys": [Row...], "salt": int, "key_salt": int|None}``;
-    ``hot_keys`` is bounded by ``max_keys`` (the only collect beyond the
-    3-number stats row, and only runs when a hot key was detected).
+    Returns ``{"hot_keys": [Row...], "hot_convs": [value...],
+    "salt": int, "key_salt": int | None}``; the hot lists are bounded by
+    ``max_keys`` and collected (re-running the small sample scan) ONLY
+    when the corresponding flag fired — the no-skew common case costs
+    exactly one job and one 3-number collect.
     """
     import math
 
@@ -543,5 +545,7 @@ def apply_changes(
     # merge() raises CommitConflict if a concurrent writer touched an
     # overlapping bucket between read and commit (e.g. a compaction or
     # another stream's apply); the bounded optimistic loop re-reads and
-    # re-resolves against the fresh snapshot.
-    return commit_with_retry(table, _merge_once)
+    # re-resolves against the fresh snapshot. 8 attempts: two streams
+    # ingesting the same hot table can alternate losses for a few
+    # rounds on a loaded box before the jittered backoff de-syncs them.
+    return commit_with_retry(table, _merge_once, max_retries=8)

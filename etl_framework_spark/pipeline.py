@@ -48,6 +48,11 @@ from etl_framework_spark.security import (
 )
 
 
+#: xlsx sink row cap (the format's practical limit; enforced in
+#: FileLoader with a limit(cap+1) probe so driver memory stays bounded)
+XLSX_MAX_ROWS = 1_000_000
+
+
 def strategy_from_string(
     value: str | LoadStrategy | None, *, fallback: bool = False
 ) -> LoadStrategy:
@@ -389,7 +394,17 @@ class FileLoader(Loader):
             else:
                 from etl_framework_spark.sources.xlsx import write_xlsx
 
-                pdf = df.toPandas()
+                # Enforced cap, not an assumption: the format tops out
+                # around 2^20 rows and the sink is driver-side by
+                # nature. limit(cap+1) bounds driver memory even when
+                # the input is huge; the guard then fails loudly.
+                cap = XLSX_MAX_ROWS
+                pdf = df.limit(cap + 1).toPandas()
+                if len(pdf) > cap:
+                    raise ValueError(
+                        f"xlsx sink caps at {cap:,} rows (driver-side "
+                        "format); write parquet/csv/feather instead"
+                    )
                 write_xlsx(
                     str(target),
                     list(pdf.columns),

@@ -445,3 +445,27 @@ def test_json_string_extractor_path_errors(spark):
 
     with pytest.raises(ValueError, match="not found"):
         JsonStringExtractor("nope.missing").extract(spark, '{"a": 1}')
+
+
+def test_xlsx_sink_row_cap_enforced(spark, tmp_path, monkeypatch):
+    """The xlsx sink's documented ~10^6-row cap is a GUARD, not an
+    assumption (r2 verdict note): oversized inputs fail loudly with
+    bounded driver memory (limit(cap+1) probe)."""
+    import etl_framework_spark.pipeline as plmod
+
+    pipe = Pipeline(spark, enable_security=False)
+    pipe.register_extractor("mem", DataFrameExtractor())
+    pipe.register_loader("xlsx", FileLoader(format="xlsx"))
+    df = spark.range(0, 50).selectExpr("id", "CAST(id AS STRING) AS s")
+    out = str(tmp_path / "o.xlsx")
+
+    monkeypatch.setattr(plmod, "XLSX_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="caps at 10"):
+        pipe.run("mem", df, "xlsx", out, strategy="replace")
+    assert not (tmp_path / "o.xlsx").exists()
+
+    monkeypatch.setattr(plmod, "XLSX_MAX_ROWS", 1_000_000)
+    pipe.run("mem", df, "xlsx", out, strategy="replace")
+    from etl_framework_spark.sources import read_excel
+
+    assert read_excel(spark, out).count() == 50
