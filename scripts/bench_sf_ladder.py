@@ -158,7 +158,8 @@ def main() -> int:
             ),
         }
         (REPO / "BENCH").mkdir(exist_ok=True)
-        (REPO / "BENCH" / "sf_ladder.json").write_text(json.dumps(payload, indent=2))
+        name = "sf_ladder.json" if sf_hi == 1.0 else f"sf_ladder_{sf_hi:g}.json"
+        (REPO / "BENCH" / name).write_text(json.dumps(payload, indent=2))
         print(json.dumps(payload))
         return 0
     finally:
