@@ -125,3 +125,33 @@ def test_generated_sql_executes_and_merges_correctly(spark, batch):
         (r[0], (r[1], r[2])) for r in con.execute("SELECT * FROM tgt").fetchall()
     )
     assert rows[9] == ("KEPT", 99.0) and 77 not in rows and len(rows) == 3
+
+
+def test_composite_key_merge_executes(spark):
+    """Composite-key UPSERT SQL is well-formed and set-based-correct
+    (executed on DuckDB)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tgt (a INT, b INT, v VARCHAR)")
+    con.execute("CREATE UNIQUE INDEX tgt_pk ON tgt (a, b)")
+    con.execute("INSERT INTO tgt VALUES (1, 1, 'old'), (2, 2, 'keep')")
+    con.execute("CREATE TABLE stage (a INT, b INT, v VARCHAR)")
+    con.execute("INSERT INTO stage VALUES (1, 1, 'new'), (3, 3, 'ins')")
+    for stmt in build_merge_sql(
+        "postgresql", "tgt", "stage", ["a", "b", "v"], ["a", "b"], True
+    ):
+        con.execute(stmt)
+    rows = {(r[0], r[1]): r[2] for r in con.execute("SELECT * FROM tgt").fetchall()}
+    assert rows == {(1, 1): "new", (2, 2): "keep", (3, 3): "ins"}
+
+
+def test_upsert_all_key_columns_degenerates_to_insert_ignore():
+    """Every column a key: nothing to update — postgres path emits
+    DO NOTHING, mysql emits a no-op assignment."""
+    pg = build_merge_sql("postgresql", "t", "s", ["k1", "k2"], ["k1", "k2"], True)
+    assert len(pg) == 1 and "DO NOTHING" in pg[0]
+    my = build_merge_sql("mysql", "t", "s", ["k1", "k2"], ["k1", "k2"], True)
+    assert len(my) == 1 and "ON DUPLICATE KEY UPDATE" in my[0]
+    # UPDATE-only with no non-key columns: no statements at all
+    assert build_merge_sql("postgresql", "t", "s", ["k"], ["k"], False) == []
