@@ -48,7 +48,17 @@ def _dialect_from_url(url: str) -> str:
 
 
 def _q(dialect: str, name: str) -> str:
-    return f"{_QUOTE[dialect]}{name}{_QUOTE[dialect]}"
+    """Quote an identifier; a schema-qualified name quotes each part
+    (``analytics.orders`` -> ``"analytics"."orders"``)."""
+    qc = _QUOTE[dialect]
+    return ".".join(f"{qc}{p}{qc}" for p in name.split("."))
+
+
+def _valid_table_name(name: str) -> bool:
+    from etl_framework_spark.security import validate_identifier
+
+    parts = str(name).split(".")
+    return 1 <= len(parts) <= 2 and all(validate_identifier(p) for p in parts)
 
 
 def build_merge_sql(
@@ -203,7 +213,9 @@ class JdbcLoader:
         keys = list(key_columns or [])
         if strategy.requires_key_columns and not keys:
             raise ValueError(f"strategy {strategy.value} requires key_columns")
-        for name in [target, *df.columns, *keys]:
+        if not _valid_table_name(target):
+            raise ValueError(f"invalid SQL identifier: {target!r}")
+        for name in [*df.columns, *keys]:
             if not validate_identifier(name):
                 raise ValueError(f"invalid SQL identifier: {name!r}")
 

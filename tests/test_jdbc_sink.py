@@ -155,3 +155,17 @@ def test_upsert_all_key_columns_degenerates_to_insert_ignore():
     assert len(my) == 1 and "ON DUPLICATE KEY UPDATE" in my[0]
     # UPDATE-only with no non-key columns: no statements at all
     assert build_merge_sql("postgresql", "t", "s", ["k"], ["k"], False) == []
+
+
+def test_schema_qualified_target(batch):
+    """analytics.orders is a legal JDBC target; each part is validated
+    and quoted separately. Injection via a dotted name still rejected."""
+    loader, rec = _loader()
+    loader.load(batch, "analytics.tgt", strategy="upsert", key_columns=["id"])
+    sql = "\n".join(rec.statements)
+    assert '"analytics"."tgt"' in sql
+    assert '"analytics"."tgt__etl_stage"' in sql
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        loader.load(batch, 'a.b"; DROP TABLE x', strategy="replace")
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        loader.load(batch, "a.b.c", strategy="replace")
