@@ -43,6 +43,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Detach a small result from its backing files (tmp dirs that the
+    query deletes before returning).
+
+    Collect-based on purpose: a ``toPandas()`` round-trip promotes
+    nullable long columns to float64 (e.g. the change feed's ``_lsn``,
+    NULL on delete rows), and a non-Arrow ``createDataFrame`` then
+    rejects float for LongType — the round-3 driver red row
+    (CORRECTNESS_r03 ``cdc_changes_feed``). ``Row`` objects preserve
+    int/None exactly under both Arrow modes, so this helper is safe in
+    any harness session. Only used on bounded entry-harness results.
+    """
+    return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -558,11 +573,10 @@ def q_knn_ivf_stored(spark, sf):  # IVF on BUCKETED STORAGE (partition-pruned)
         ivf_write(assigned, cents, f"{tmp}/idx")
         stored, cents2 = ivf_read(spark, f"{tmp}/idx")
         out = knn_ivf(stored, cents2, qvec, k=10, nprobe=8)
-        res = out.select("vec_id", F.round("sim", 4).alias("sim"))
-        schema, pdf = res.schema, res.toPandas()
+        res = _materialize(out.select("vec_id", F.round("sim", 4).alias("sim")))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(pdf, schema=schema)
+    return res
 
 
 def q_media_features(spark, sf):  # multimodal decode plumbing, oracle-checked
@@ -664,10 +678,9 @@ def q_cdc_apply_batch(spark, sf):  # batch apply_changes -> final table state
         spark, f"{tmp}/t", schema=stored, key_columns=KEY_COLUMNS, n_buckets=16
     )
     apply_changes(table, changes, stream_id="entry", epoch_id=0)
-    fs = _final_state(table)
-    schema, out = fs.schema, fs.toPandas()  # materialize before tmp cleanup
+    fs = _materialize(_final_state(table))  # detach before tmp cleanup
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(out, schema=schema)
+    return fs
 
 
 def q_cdc_changes_feed(spark, sf):  # CDC-out: row-level diff between versions
@@ -696,12 +709,13 @@ def q_cdc_changes_feed(spark, sf):  # CDC-out: row-level diff between versions
     v1 = table.version
     apply_changes(table, changes.where(F.col("lsn") > mid), stream_id="feed", epoch_id=1)
     v2 = table.version
-    feed = table.changes_between(v1, v2).select(
-        "conv_id", "turn_idx", "role", "text", "ts", "_lsn", "_change_type"
+    feed = _materialize(
+        table.changes_between(v1, v2).select(
+            "conv_id", "turn_idx", "role", "text", "ts", "_lsn", "_change_type"
+        )
     )
-    schema, out = feed.schema, feed.toPandas()
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(out, schema=schema)
+    return feed
 
 
 def q_cdc_stream_apply(spark, sf):  # full streaming path -> final state
@@ -739,10 +753,9 @@ def q_cdc_stream_apply(spark, sf):  # full streaming path -> final state
         stream_id="entry-stream",
     )
     table = LakeTable(spark, f"{tmp}/t")
-    fs = _final_state(table)
-    schema, out = fs.schema, fs.toPandas()
+    fs = _materialize(_final_state(table))
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(out, schema=schema)
+    return fs
 
 
 def q_excel_roundtrip(spark, sf):  # S2: xlsx sink+scan (self-contained codec)
@@ -758,14 +771,15 @@ def q_excel_roundtrip(spark, sf):  # S2: xlsx sink+scan (self-contained codec)
         p = f"{tmp}/nation.xlsx"
         write_xlsx(p, list(pdf0.columns), pdf0.values.tolist())
         back = read_excel(spark, p)
-        out = back.select(
-            F.col("n_nationkey").cast("long").alias("n_nationkey"),
-            F.col("n_name").cast("string").alias("n_name"),
+        out = _materialize(
+            back.select(
+                F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                F.col("n_name").cast("string").alias("n_name"),
+            )
         )
-        schema, pdf = out.schema, out.toPandas()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(pdf, schema=schema)
+    return out
 
 
 def q_feather_roundtrip(spark, sf):  # L9: feather sink+scan (Arrow IPC, distributed)
@@ -779,14 +793,15 @@ def q_feather_roundtrip(spark, sf):  # L9: feather sink+scan (Arrow IPC, distrib
     try:
         write_feather(o, f"{tmp}/orders")
         back = read_feather(spark, f"{tmp}/orders")
-        out = back.groupBy("o_orderstatus").agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        out = _materialize(
+            back.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
         )
-        schema, pdf = out.schema, out.toPandas()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(pdf, schema=schema)
+    return out
 
 
 def q_pdf_tables_roundtrip(spark, sf):  # S4: pdf table sink+scan (minimal codec)
@@ -816,10 +831,10 @@ def q_pdf_tables_roundtrip(spark, sf):  # S4: pdf table sink+scan (minimal codec
                 F.element_at("cells", 2).alias("n_name"),
             )
         )
-        schema, got = out.schema, out.toPandas()
+        out = _materialize(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(got, schema=schema)
+    return out
 
 
 def q_csv_roundtrip(spark, sf):  # S1: csv sink+scan with pinned schema
@@ -843,13 +858,14 @@ def q_csv_roundtrip(spark, sf):  # S1: csv sink+scan with pinned schema
         ]
     )
     back = read_csv(spark, f"{tmp}/customer", schema=schema)
-    out = back.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    out = _materialize(
+        back.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
     )
-    pdf = out.toPandas()
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(pdf, schema=out.schema)
+    return out
 
 
 def q_json_flatten(spark, sf):  # S3: nested JSON scan + flatten + explode
@@ -901,12 +917,14 @@ def q_json_flatten(spark, sf):  # S3: nested JSON scan + flatten + explode
         ]
     )
     flat = flatten_json(read_json(spark, f"{tmp}/orders", schema=schema))
-    out = flat.select(
-        "id", F.col("meta_cust").alias("cust"), "lines_ln", F.round("lines_qty", 2).alias("qty")
+    out = _materialize(
+        flat.select(
+            "id", F.col("meta_cust").alias("cust"), "lines_ln",
+            F.round("lines_qty", 2).alias("qty"),
+        )
     )
-    pdf = out.toPandas()
     shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(pdf, schema=out.schema)
+    return out
 
 
 def q_crypto_roundtrip(spark, sf):  # C1/C2: AES encrypt/decrypt, JVM-side
@@ -1084,13 +1102,14 @@ def q_pipeline_end_to_end(spark, sf):  # Pipeline API: extract->transform->load 
             strategy="upsert",
             key_columns=["o_orderkey"],
         )
-        out = LakeTable(spark, f"{tmp}/t").current().select(
-            "o_orderkey", "o_custkey", "gross"
+        out = _materialize(
+            LakeTable(spark, f"{tmp}/t").current().select(
+                "o_orderkey", "o_custkey", "gross"
+            )
         )
-        schema, pdf = out.schema, out.toPandas()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(pdf, schema=schema)
+    return out
 
 
 def q_grouped_session_stats(spark, sf):  # §2.11 grouped-apply (applyInPandas)

@@ -270,14 +270,16 @@ class AuditLogger:
         """Append buffered events to the audit LakeTable (one batch).
         Returns the new table version, or None if nothing to do.
 
-        With no table sink the buffer is STILL cleared: events were
-        already durably written to the JSONL file at log time, and a
+        With a JSONL file but no table sink the buffer is STILL cleared:
+        events were already durably written at log time, and a
         long-lived pipeline process must not accumulate every audit
-        event in memory forever."""
+        event in memory forever. In a memory-ONLY config (no file, no
+        table) the buffer IS the audit trail, so flush keeps it."""
         if not self._buffer:
             return None
         if not self.table_path:
-            self._buffer.clear()
+            if self.log_file:
+                self._buffer.clear()
             return None
         from etl_framework_spark.lakehouse.table import LakeTable
 

@@ -5,4 +5,8 @@ the reference's SQLLoader surface for users with a real RDBMS target
 (reference:src/etl_framework/plugins/loaders/sql_loader.py).
 """
 
-from etl_framework_spark.sinks.jdbc import JdbcLoader, build_merge_sql  # noqa: F401
+from etl_framework_spark.sinks.jdbc import (  # noqa: F401
+    JdbcLoader,
+    build_create_table_sql,
+    build_merge_sql,
+)

@@ -25,11 +25,18 @@ GENERATION — the part worth testing — is pure and covered by unit
 tests.
 
 NOTE: native upserts require a UNIQUE constraint on the key columns
-(same requirement as the reference's postgres/mysql paths).
+(same requirement as the reference's postgres/mysql paths). A keyed
+load to a MISSING target therefore branches: UPDATE falls back to
+replace-with-data (reference parity, sql_loader.py:236-239), UPSERT
+creates the table with ``PRIMARY KEY (key_columns)`` first so the
+native merge — this one and every later one — has its constraint.
+Target existence is probed via an injectable ``exists`` callable
+(default: zero-row SELECT over the JVM connection).
 """
 
 from __future__ import annotations
 
+import uuid
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame
@@ -132,6 +139,57 @@ def build_merge_sql(
     return [_generic_update(dialect, target, stage, non_keys, keys)]
 
 
+def _sql_type(dt, dialect: str, is_key: bool) -> str:
+    """SQL column type for one Spark field, per dialect.
+
+    Only used when creating a FRESH upsert target (so the native merge
+    has its PRIMARY KEY); simple writes let Spark's own JDBC writer map
+    types. MySQL cannot index a bare TEXT column, so string KEY parts
+    become VARCHAR(255) there (same limit the reference's mysql path
+    inherits from its ORM)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, (T.IntegerType,)):
+        return "INTEGER"
+    if isinstance(dt, (T.ShortType, T.ByteType)):
+        return "SMALLINT"
+    if isinstance(dt, T.DoubleType):
+        return "DOUBLE" if dialect == "mysql" else "DOUBLE PRECISION"
+    if isinstance(dt, T.FloatType):
+        return "FLOAT" if dialect == "mysql" else "REAL"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP"
+    if isinstance(dt, T.BinaryType):
+        return {"postgresql": "BYTEA"}.get(dialect, "BLOB")
+    if dialect == "mysql" and is_key:
+        return "VARCHAR(255)"
+    return "TEXT"
+
+
+def build_create_table_sql(
+    dialect: str, target: str, schema, key_columns: Sequence[str]
+) -> str:
+    """CREATE TABLE with a PRIMARY KEY on the merge keys — what a fresh
+    keyed target needs for ``ON CONFLICT`` / ``ON DUPLICATE KEY`` to have
+    a constraint to match (a CTAS or ``df.write.jdbc`` table has none)."""
+    q = lambda n: _q(dialect, n)  # noqa: E731
+    keys = set(key_columns)
+    cols = ", ".join(
+        f"{q(f.name)} {_sql_type(f.dataType, dialect, f.name in keys)}"
+        for f in schema.fields
+    )
+    pk = ", ".join(q(k) for k in key_columns)
+    return f"CREATE TABLE {q(target)} ({cols}, PRIMARY KEY ({pk}))"
+
+
 def _generic_update(
     dialect: str, target: str, stage: str, non_keys: Sequence[str], keys: Sequence[str]
 ) -> str:
@@ -164,11 +222,18 @@ class JdbcLoader:
         dialect: str | None = None,
         executor: Callable[[list[str]], None] | None = None,
         writer: Callable | None = None,
+        exists: Callable[[str], bool] | None = None,
     ):
         self.url = url
         self.properties = dict(properties or {})
         self.dialect = dialect or _dialect_from_url(url)
         self._executor = executor
+        # exists(table) -> bool — target-existence probe for keyed loads.
+        # Default: a zero-row SELECT over the JVM connection; with an
+        # injected executor and no probe, the target is ASSUMED to exist
+        # (a missing one then fails loudly in the merge instead of being
+        # silently created empty).
+        self._exists = exists
         # writer(df, table, mode) — injectable for tests; default is the
         # parallel Spark JDBC writer (one connection per partition).
         self._writer = writer or (
@@ -197,6 +262,39 @@ class JdbcLoader:
             for sql in statements:
                 st.execute(sql)
             st.close()
+        finally:
+            conn.close()
+
+    def _table_exists(self, target: str) -> bool:
+        if self._exists is not None:
+            return self._exists(target)
+        if self._executor is not None:
+            # No probe + injected executor: assume the target exists so a
+            # genuinely missing one errors loudly in the merge rather
+            # than being silently created empty (the pre-round-4 CTAS
+            # path dropped UPDATE batches that way).
+            return True
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # pragma: no cover - defensive
+            raise RuntimeError("no active SparkSession for JDBC execution")
+        jvm = spark._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            st = conn.createStatement()
+            try:
+                st.executeQuery(
+                    f"SELECT 1 FROM {_q(self.dialect, target)} WHERE 1 = 0"
+                )
+                return True
+            except Exception:
+                return False
+            finally:
+                st.close()
         finally:
             conn.close()
 
@@ -232,16 +330,30 @@ class JdbcLoader:
         # statement must see one row per key), stage it, merge, drop.
         from etl_framework_spark.operators.load_strategies import _dedupe_batch
 
-        stage = f"{target}__etl_stage"
-        self._writer(_dedupe_batch(df, keys), stage, "overwrite")
-        # reference creates a missing target before the keyed load
-        # (sql_loader.py:236-239, :271-273); CREATE ... IF NOT EXISTS
-        # AS an empty projection of the stage works on all 3 dialects
-        create = (
-            f"CREATE TABLE IF NOT EXISTS {_q(self.dialect, target)} AS "
-            f"SELECT * FROM {_q(self.dialect, stage)} WHERE 1 = 0"
-        )
-        stmts = [create] + build_merge_sql(
+        batch = _dedupe_batch(df, keys)
+        create: list[str] = []
+        if not self._table_exists(target):
+            if strategy is LoadStrategy.UPDATE:
+                # reference parity: UPDATE to a missing target replaces
+                # with the batch data (sql_loader.py:236-239) instead of
+                # silently dropping it against an empty table.
+                self._writer(batch, target, "overwrite")
+                return target
+            # UPSERT to a missing target: create it WITH a PRIMARY KEY on
+            # the merge keys so the native ON CONFLICT / ON DUPLICATE KEY
+            # has its constraint — a plain overwrite (the reference's
+            # fallback) leaves an unconstrained table that breaks the
+            # NEXT upsert, so this diverges deliberately.
+            create = [
+                build_create_table_sql(self.dialect, target, df.schema, keys)
+            ]
+
+        # uuid-suffixed stage: concurrent loads to one target never
+        # clobber each other's stage, and a failed merge can't orphan a
+        # name the next load would collide with.
+        stage = f"{target}__etl_stage_{uuid.uuid4().hex[:8]}"
+        self._writer(batch, stage, "overwrite")
+        stmts = create + build_merge_sql(
             self.dialect,
             target,
             stage,
@@ -249,5 +361,9 @@ class JdbcLoader:
             keys,
             insert_unmatched=(strategy is LoadStrategy.UPSERT),
         )
-        self._execute(stmts + [f"DROP TABLE {_q(self.dialect, stage)}"])
+        try:
+            self._execute(stmts)
+        finally:
+            # always reap the stage, even when the merge failed
+            self._execute([f"DROP TABLE IF EXISTS {_q(self.dialect, stage)}"])
         return target

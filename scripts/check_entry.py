@@ -5,7 +5,13 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 column names, and values (rows sorted by all columns, columns sorted by
 name) — a stricter local predictor of the driver's value-hash compare.
 
-Usage: python scripts/check_entry.py [sf_dir] [query ...]
+Usage: python scripts/check_entry.py [--no-arrow] [sf_dir] [query ...]
+
+``--no-arrow`` disables Arrow conversion for the whole session, mirroring
+the driver's harness (a plain ``SparkSession`` without the repo's Arrow
+config). The round-3 red row (``cdc_changes_feed``) only reproduced in
+that mode — non-Arrow ``createDataFrame`` rejects pandas' float64
+promotion of nullable long columns — so both modes must stay green.
 """
 
 from __future__ import annotations
@@ -57,10 +63,16 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--no-arrow"]
+    no_arrow = "--no-arrow" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark(app_name="check_entry")
+    if no_arrow:
+        # Mirror the driver harness: no Arrow on either conversion path.
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+        print("mode: arrow DISABLED (driver-harness emulation)")
     con = duckdb.connect()
     for t in entrymod.REPO_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -51,14 +51,17 @@ def test_simple_strategies_map_to_write_modes(batch):
 def test_upsert_stages_once_and_merges_postgres(batch):
     loader, rec = _loader()
     loader.load(batch, "tgt", strategy="upsert", key_columns=["id"])
-    assert rec.writes == [("tgt__etl_stage", "overwrite", 2)]
+    assert len(rec.writes) == 1
+    stage, mode, n = rec.writes[0]
+    # uuid-suffixed stage: concurrent loads can't clobber each other
+    assert stage.startswith("tgt__etl_stage_") and len(stage) > len("tgt__etl_stage_")
+    assert (mode, n) == ("overwrite", 2)
     sql = "\n".join(rec.statements)
-    assert 'CREATE TABLE IF NOT EXISTS "tgt"' in sql
     assert 'ON CONFLICT ("id") DO UPDATE SET' in sql
     assert '"name" = EXCLUDED."name"' in sql and '"v" = EXCLUDED."v"' in sql
-    assert rec.statements[-1] == 'DROP TABLE "tgt__etl_stage"'
-    # set-based: exactly one merge statement, no per-row anything
-    assert len(rec.statements) == 3
+    assert rec.statements[-1] == f'DROP TABLE IF EXISTS "{stage}"'
+    # set-based: exactly one merge statement + the stage drop
+    assert len(rec.statements) == 2
 
 
 def test_upsert_mysql_dialect(batch):
@@ -164,8 +167,116 @@ def test_schema_qualified_target(batch):
     loader.load(batch, "analytics.tgt", strategy="upsert", key_columns=["id"])
     sql = "\n".join(rec.statements)
     assert '"analytics"."tgt"' in sql
-    assert '"analytics"."tgt__etl_stage"' in sql
+    assert '"analytics"."tgt__etl_stage_' in sql
     with pytest.raises(ValueError, match="invalid SQL identifier"):
         loader.load(batch, 'a.b"; DROP TABLE x', strategy="replace")
     with pytest.raises(ValueError, match="invalid SQL identifier"):
         loader.load(batch, "a.b.c", strategy="replace")
+
+
+def test_update_missing_target_replaces_with_data(batch):
+    """Reference parity (sql_loader.py:236-239): UPDATE to a missing
+    target replaces with the batch — it must NOT create an empty table
+    and silently drop the rows (ADVICE r3 medium)."""
+    rec = Recorder()
+    loader = JdbcLoader(
+        "jdbc:postgresql://db:5432/x",
+        executor=rec.executor,
+        writer=rec.writer,
+        exists=lambda t: False,
+    )
+    loader.load(batch, "tgt", strategy="update", key_columns=["id"])
+    assert rec.writes == [("tgt", "overwrite", 2)]
+    assert rec.statements == []  # no stage, no merge
+
+
+def test_upsert_missing_target_creates_with_primary_key(batch):
+    """UPSERT to a missing target creates it WITH a PRIMARY KEY on the
+    merge keys, so this merge and every later one has its ON CONFLICT
+    constraint (ADVICE r3 medium)."""
+    rec = Recorder()
+    loader = JdbcLoader(
+        "jdbc:postgresql://db:5432/x",
+        executor=rec.executor,
+        writer=rec.writer,
+        exists=lambda t: False,
+    )
+    loader.load(batch, "tgt", strategy="upsert", key_columns=["id"])
+    create = rec.statements[0]
+    assert create.startswith('CREATE TABLE "tgt" (')
+    assert '"id" INTEGER' in create and '"v" DOUBLE PRECISION' in create
+    assert 'PRIMARY KEY ("id")' in create
+    assert "ON CONFLICT" in rec.statements[1]
+
+
+def test_stage_dropped_even_when_merge_fails(batch):
+    """The stage table is reaped in a finally — a failed merge must not
+    leak it (ADVICE r3 low)."""
+    drops: list[str] = []
+
+    def failing_executor(stmts):
+        for s in stmts:
+            if s.startswith("DROP TABLE IF EXISTS"):
+                drops.append(s)
+            else:
+                raise RuntimeError("merge blew up")
+
+    rec = Recorder()
+    loader = JdbcLoader(
+        "jdbc:postgresql://db:5432/x", executor=failing_executor, writer=rec.writer
+    )
+    with pytest.raises(RuntimeError, match="merge blew up"):
+        loader.load(batch, "tgt", strategy="upsert", key_columns=["id"])
+    assert len(drops) == 1 and drops[0].startswith('DROP TABLE IF EXISTS "tgt__etl_stage_')
+
+
+def test_fresh_target_upsert_executes_end_to_end(spark, batch):
+    """The full fresh-target UPSERT path EXECUTED on DuckDB: typed
+    CREATE with PK, merge, stage drop — then a SECOND upsert against the
+    created table proves the constraint is real (the exact failure the
+    old CTAS path had)."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def executor(stmts):
+        for s in stmts:
+            con.execute(s)
+
+    def writer(df, table, mode):
+        pdf = df.toPandas()
+        con.register("_batch", pdf)
+        con.execute(f'CREATE OR REPLACE TABLE "{table}" AS SELECT * FROM _batch')
+        con.unregister("_batch")
+
+    def exists(t):
+        try:
+            con.execute(f'SELECT 1 FROM "{t}" WHERE 1 = 0')
+            return True
+        except duckdb.CatalogException:
+            return False
+
+    loader = JdbcLoader(
+        "jdbc:postgresql://db:5432/x", executor=executor, writer=writer, exists=exists
+    )
+    loader.load(batch, "fresh", strategy="upsert", key_columns=["id"])
+    rows = dict(
+        (r[0], (r[1], r[2]))
+        for r in con.execute('SELECT * FROM "fresh"').fetchall()
+    )
+    assert rows == {1: ("a", 10.0), 2: ("b", 20.0)}
+
+    batch2 = spark.createDataFrame(
+        [(2, "B2", 22.0), (3, "c", 30.0)], "id int, name string, v double"
+    )
+    loader.load(batch2, "fresh", strategy="upsert", key_columns=["id"])
+    rows = dict(
+        (r[0], (r[1], r[2]))
+        for r in con.execute('SELECT * FROM "fresh"').fetchall()
+    )
+    assert rows == {1: ("a", 10.0), 2: ("B2", 22.0), 3: ("c", 30.0)}
+    # no stage tables leaked
+    leftover = con.execute(
+        "SELECT table_name FROM information_schema.tables WHERE table_name LIKE '%etl_stage%'"
+    ).fetchall()
+    assert leftover == []

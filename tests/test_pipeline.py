@@ -440,6 +440,17 @@ def test_audit_buffer_clears_without_table_sink(spark, tmp_path):
     assert len((tmp_path / "a.jsonl").read_text().strip().splitlines()) == 1
 
 
+def test_audit_memory_only_config_keeps_buffer_on_flush(spark):
+    """Memory-only audit (no JSONL, no table): the buffer IS the trail —
+    flush must not discard it (ADVICE r3)."""
+    from etl_framework_spark.security import AuditLogger
+
+    log = AuditLogger(log_file=None, table_path=None)
+    log.log_event("x", "admin", {"i": 1})
+    assert log.flush(spark) is None
+    assert len(log.pending) == 1
+
+
 def test_json_string_extractor_path_errors(spark):
     from etl_framework_spark.pipeline import JsonStringExtractor
 
