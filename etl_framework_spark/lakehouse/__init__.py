@@ -8,6 +8,7 @@ overwrite/merge/schema-evolve/snapshot history) map 1:1 onto Iceberg
 ``writeTo``/``MERGE INTO``/``ALTER TABLE ADD COLUMNS``.
 """
 
+from etl_framework_spark.lakehouse.dirtable import DirTable  # noqa: F401
 from etl_framework_spark.lakehouse.protocol import KeyedTable  # noqa: F401
 from etl_framework_spark.lakehouse.table import (  # noqa: F401
     CommitConflict,

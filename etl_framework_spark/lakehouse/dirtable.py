@@ -1,0 +1,609 @@
+"""``DirTable`` — a second, log-structured ``KeyedTable`` implementation.
+
+Why it exists: ``docs/ICEBERG_ADAPTER.md`` promises that swapping table
+formats is a constructor change because every engine component programs
+against ``lakehouse.protocol.KeyedTable``. DirTable is the executable
+proof: a physically DIFFERENT format — a Delta-style dense-versioned
+commit log (one atomic JSON action file per commit; table state is the
+fold of add/replace actions) instead of ``LakeTable``'s Iceberg-style
+snapshot manifests — run through the same conformance, CDC, and
+streaming tests (``tests/test_table_conformance.py``).
+
+Format on disk::
+
+    _log/_table.json        static: key columns, bucket count, format tag
+    _log/<v 12-digit>.json  one commit: mode, per-bucket file adds,
+                            replaced buckets, schema registrations,
+                            epoch marker, summary
+    _log/_ckpt-<v>.json     folded state checkpoint; commits <= v may be
+                            garbage-collected after it exists
+    data/<commit>/_bucket=K/*.parquet
+
+Design points that deliberately differ from ``LakeTable``:
+
+- **Dense versions + exclusive create.** The next version number is
+  ``current + 1`` and publication is an exclusive hard-link; a taken
+  version reloads the log and re-applies the delta. ``replace`` commits
+  carry per-bucket *expected* file lists and surface ``CommitConflict``
+  when an overlapping writer got there first — the same optimistic
+  contract, reached by log replay instead of snapshot re-application.
+- **Content-hash schema registry.** Data files reference their write
+  schema by sha256 of the canonical schema JSON (order-independent and
+  idempotent under concurrent registration, where integer ids would
+  collide). The CURRENT table schema is the ``merge_schemas`` fold of
+  every registered schema in commit order — monotone by construction,
+  so a stale maintenance commit can never regress an evolution (the
+  bug class round 3's chaos soak found in snapshot-land is structurally
+  impossible here).
+- **Checkpoints bound replay.** ``expire_snapshots`` writes a folded
+  checkpoint and deletes older commit files plus unreferenced data
+  files (with an mtime grace), so a sustained one-epoch-per-second
+  ingest replays O(keep_last), not O(all history).
+
+Scale notes (100 TB): data layout, bucket pruning, and the
+single-shuffle merge path are identical to ``LakeTable`` — state
+reconstruction cost is the only difference, and checkpointing keeps it
+bounded. This mirrors the real Delta-vs-Iceberg trade: log replay vs
+manifest trees; both end in the same parquet scan.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import time
+import uuid
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_framework_spark.lakehouse.table import (
+    CommitConflict,
+    SchemaEvolutionError,
+    align_to_schema,
+    bucket_expr,
+    merge_schemas,
+)
+
+LOG_DIR = "_log"
+DATA_DIR = "data"
+FORMAT_TAG = "dir-log/1"
+
+
+def _schema_hash(schema: T.StructType) -> str:
+    return hashlib.sha256(schema.json().encode()).hexdigest()[:16]
+
+
+class _State:
+    """Folded view of the commit log at one version."""
+
+    def __init__(self) -> None:
+        self.version = -1
+        self.live: dict[str, list[dict[str, Any]]] = {}
+        self.schemas: dict[str, T.StructType] = {}
+        self.schema_order: list[str] = []
+        self.epochs: dict[str, int] = {}
+        self.history: list[dict[str, Any]] = []
+
+    def fold(self, commit: dict[str, Any]) -> None:
+        for h, sj in commit.get("schemas", {}).items():
+            if h not in self.schemas:
+                self.schemas[h] = T.StructType.fromJson(
+                    sj if isinstance(sj, dict) else json.loads(sj)
+                )
+                self.schema_order.append(h)
+        mode = commit["mode"]
+        adds = commit.get("adds", {})
+        if mode == "overwrite":
+            self.live = {b: list(fs) for b, fs in adds.items()}
+        elif mode == "append":
+            for b, fs in adds.items():
+                self.live.setdefault(b, []).extend(fs)
+        elif mode == "replace":
+            for b in commit.get("replaced", list(adds)):
+                self.live[str(b)] = list(adds.get(str(b), []))
+            self.live = {b: fs for b, fs in self.live.items() if fs}
+        else:  # pragma: no cover - format guard
+            raise ValueError(f"unknown commit mode {mode!r}")
+        ep = commit.get("epoch")
+        if ep:
+            s, e = ep[0], int(ep[1])
+            self.epochs[s] = max(self.epochs.get(s, -1), e)
+        self.version = int(commit["version"])
+        self.history.append(
+            {"version": self.version, "summary": commit.get("summary", {})}
+        )
+
+    @property
+    def current_schema(self) -> T.StructType:
+        """The monotone fold of every registered schema, in commit
+        order — a late narrow registration can only add/widen, never
+        drop a concurrently-evolved column."""
+        out: T.StructType | None = None
+        for h in self.schema_order:
+            out = (
+                self.schemas[h]
+                if out is None
+                else merge_schemas(out, self.schemas[h])[0]
+            )
+        if out is None:  # pragma: no cover - create() always registers one
+            raise RuntimeError("empty schema registry")
+        return out
+
+    def copy(self) -> "_State":
+        s = _State()
+        s.version = self.version
+        s.live = {b: list(fs) for b, fs in self.live.items()}
+        s.schemas = dict(self.schemas)
+        s.schema_order = list(self.schema_order)
+        s.epochs = dict(self.epochs)
+        s.history = list(self.history)
+        return s
+
+
+class DirTable:
+    """Log-structured keyed table; see module docstring.
+
+    Satisfies ``lakehouse.protocol.KeyedTable`` (gated by the
+    conformance suite) — construct one and hand it to ``apply_changes``
+    / ``start_ingest(table_factory=DirTable)`` unchanged.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        meta = os.path.join(path, LOG_DIR, "_table.json")
+        if not os.path.isfile(meta):
+            raise FileNotFoundError(f"not a DirTable: {path}")
+        with open(meta) as f:
+            tm = json.load(f)
+        if tm.get("format") != FORMAT_TAG:
+            raise ValueError(f"unsupported format {tm.get('format')!r}")
+        self.key_columns: list[str] = list(tm["key_columns"])
+        self.n_buckets: int = int(tm["n_buckets"])
+        self._commits: list[dict[str, Any]] = []  # parsed, after checkpoint
+        self._ckpt: _State | None = None
+        self._state = _State()
+        self.refresh()
+
+    # ----------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_columns: list[str],
+        n_buckets: int = 16,
+    ) -> "DirTable":
+        log = os.path.join(path, LOG_DIR)
+        if os.path.exists(os.path.join(log, "_table.json")):
+            raise FileExistsError(f"table already exists: {path}")
+        os.makedirs(log, exist_ok=True)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        with open(os.path.join(log, "_table.json"), "w") as f:
+            json.dump(
+                {
+                    "format": FORMAT_TAG,
+                    "key_columns": list(key_columns),
+                    "n_buckets": int(n_buckets),
+                },
+                f,
+            )
+        h = _schema_hash(schema)
+        commit0 = {
+            "version": 0,
+            "mode": "overwrite",
+            "adds": {},
+            "schemas": {h: json.loads(schema.json())},
+            "summary": {"operation": "create"},
+        }
+        with open(os.path.join(log, "v%012d.json" % 0), "w") as f:
+            json.dump(commit0, f)
+        return cls(spark, path)
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.isfile(os.path.join(path, LOG_DIR, "_table.json"))
+
+    # -------------------------------------------------------------- replay
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.path, LOG_DIR, "v%012d.json" % version)
+
+    def _load_checkpoint(self) -> _State | None:
+        cks = sorted(glob.glob(os.path.join(self.path, LOG_DIR, "_ckpt-*.json")))
+        if not cks:
+            return None
+        with open(cks[-1]) as f:
+            d = json.load(f)
+        s = _State()
+        s.version = int(d["version"])
+        s.live = d["live"]
+        s.schema_order = d["schema_order"]
+        s.schemas = {
+            h: T.StructType.fromJson(sj) for h, sj in d["schemas"].items()
+        }
+        s.epochs = {k: int(v) for k, v in d["epochs"].items()}
+        s.history = d["history"]
+        return s
+
+    def refresh(self) -> "DirTable":
+        """Fold any commits published since the last load. Re-seeds from
+        the newest checkpoint when the cached base predates it (e.g.
+        another process expired the log)."""
+        if self._ckpt is None:
+            self._ckpt = self._load_checkpoint()
+        base = self._ckpt.version if self._ckpt is not None else -1
+        # drop cached commits a newer checkpoint has absorbed
+        nxt = base + len(self._commits) + 1
+        while True:
+            p = self._log_path(nxt)
+            if not os.path.isfile(p):
+                break
+            with open(p) as f:
+                self._commits.append(json.load(f))
+            nxt += 1
+        state = self._ckpt.copy() if self._ckpt is not None else _State()
+        for c in self._commits:
+            state.fold(c)
+        if state.version < 0:
+            # base checkpoint vanished mid-race or log empty: rescan
+            ck = self._load_checkpoint()
+            if ck is not None and (
+                self._ckpt is None or ck.version > self._ckpt.version
+            ):
+                self._ckpt, self._commits = ck, []
+                return self.refresh()
+            raise FileNotFoundError(f"no commits found under {self.path}")
+        self._state = state
+        return self
+
+    def _state_at(self, version: int) -> _State:
+        base = self._ckpt
+        if base is not None and version < base.version:
+            raise ValueError(
+                f"version {version} predates the oldest checkpoint "
+                f"({base.version}); expired from the time-travel window"
+            )
+        s = base.copy() if base is not None else _State()
+        for c in self._commits:
+            if int(c["version"]) > version:
+                break
+            s.fold(c)
+        if s.version != version:
+            raise ValueError(f"unknown version {version}")
+        return s
+
+    # ---------------------------------------------------------------- meta
+    @property
+    def version(self) -> int:
+        return self._state.version
+
+    @property
+    def schema(self) -> T.StructType:
+        return self._state.current_schema
+
+    def last_epoch(self, stream_id: str) -> int:
+        return self._state.epochs.get(stream_id, -1)
+
+    def history(self) -> list[dict[str, Any]]:
+        return list(self._state.history)
+
+    # --------------------------------------------------------------- reads
+    def _read_files(
+        self, entries: list[dict[str, Any]], schemas: dict[str, T.StructType],
+        current: T.StructType,
+    ) -> DataFrame | None:
+        if not entries:
+            return None
+        by_schema: dict[str, list[str]] = {}
+        for e in entries:
+            by_schema.setdefault(e["schema"], []).append(
+                os.path.join(self.path, e["path"])
+            )
+        parts = []
+        for h, files in by_schema.items():
+            df = self.spark.read.schema(schemas[h]).parquet(*files)
+            parts.append(align_to_schema(df, current))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        state = self._state if version is None else self._state_at(version)
+        live = (
+            state.live
+            if buckets is None
+            else {str(b): state.live.get(str(b), []) for b in buckets}
+        )
+        entries: list[dict[str, Any]] = []
+        for fs in live.values():
+            entries.extend(fs)
+        current = state.current_schema
+        df = self._read_files(entries, state.schemas, current)
+        if df is None:
+            return self.spark.createDataFrame([], current)
+        return df
+
+    def current(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        df = self.read(buckets=buckets, version=version)
+        if "_deleted" in df.columns:
+            df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        return df
+
+    def touched_buckets(self, source: DataFrame) -> list[int]:
+        key = self.key_columns[0]
+        ktype = self.schema[key].dataType
+        rows = (
+            source.select(
+                bucket_expr(F.col(key).cast(ktype), self.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted(r["b"] for r in rows)
+
+    # -------------------------------------------------------------- writes
+    def _ensure_schema(self, incoming: T.StructType) -> tuple[str, T.StructType]:
+        """Merge ``incoming`` into the current fold; returns the write
+        schema's content hash + the schema itself. Registration happens
+        inside the next commit (idempotent by hash)."""
+        merged, _ = merge_schemas(self.schema, incoming)
+        k = self.key_columns[0] if self.key_columns else None
+        if k is not None:
+            cur = {f.name: f.dataType for f in self.schema.fields}
+            new = {f.name: f.dataType for f in merged.fields}
+            if k in cur and new.get(k) != cur[k]:
+                raise SchemaEvolutionError(
+                    f"key column {k!r} cannot change type "
+                    f"({cur[k].simpleString()} -> {new[k].simpleString()}): "
+                    "bucket hashing is type-sensitive"
+                )
+        return _schema_hash(merged), merged
+
+    def _write_data(
+        self, df: DataFrame, schema_hash: str
+    ) -> dict[str, list[dict[str, Any]]]:
+        commit_id = uuid.uuid4().hex[:16]
+        out_dir = os.path.join(self.path, DATA_DIR, commit_id)
+        if "_bucket" in df.columns:
+            keyed = df
+        else:
+            keyed = (
+                df.withColumn(
+                    "_bucket", bucket_expr(self.key_columns[0], self.n_buckets)
+                )
+                .repartition("_bucket")
+                .sortWithinPartitions(*self.key_columns)
+            )
+        keyed.write.partitionBy("_bucket").parquet(out_dir, mode="overwrite")
+        adds: dict[str, list[dict[str, Any]]] = {}
+        for bdir in glob.glob(os.path.join(out_dir, "_bucket=*")):
+            b = bdir.rsplit("=", 1)[1]
+            for fp in glob.glob(os.path.join(bdir, "*.parquet")):
+                rel = os.path.relpath(fp, self.path)
+                adds.setdefault(b, []).append(
+                    {"path": rel, "schema": schema_hash}
+                )
+        return adds
+
+    def _commit(
+        self,
+        mode: str,
+        adds: dict[str, list[dict[str, Any]]],
+        schema_hash: str,
+        schema: T.StructType,
+        summary: dict[str, Any],
+        epoch: tuple[str, int] | None = None,
+        replaced: list[str] | None = None,
+        expected: dict[str, list[dict[str, Any]]] | None = None,
+        on_conflict: str = "raise",
+        max_retries: int = 10,
+    ) -> int:
+        summary = {k: (v() if callable(v) else v) for k, v in summary.items()}
+        log = os.path.join(self.path, LOG_DIR)
+        for _ in range(max_retries):
+            self.refresh()
+            adds_now, replaced_now = adds, list(replaced or [])
+            if expected is not None:
+                stale = [
+                    b
+                    for b, fs in expected.items()
+                    if [e["path"] for e in self._state.live.get(b, [])]
+                    != [e["path"] for e in fs]
+                ]
+                if stale:
+                    if on_conflict == "raise":
+                        raise CommitConflict(
+                            f"buckets {sorted(stale)} changed under this "
+                            f"{mode} commit"
+                        )
+                    # keep_fresh (maintenance): abandon the conflicted
+                    # buckets' rewrite, keep the fresh writer's files.
+                    adds_now = {
+                        b: fs for b, fs in adds.items() if b not in set(stale)
+                    }
+                    replaced_now = [b for b in replaced_now if b not in set(stale)]
+                    if not adds_now and not replaced_now:
+                        return self._state.version  # full no-op
+            commit = {
+                "version": self._state.version + 1,
+                "mode": mode,
+                "adds": adds_now,
+                "summary": summary,
+            }
+            if mode == "replace":
+                commit["replaced"] = replaced_now
+            if schema_hash not in self._state.schemas:
+                commit["schemas"] = {schema_hash: json.loads(schema.json())}
+            if epoch is not None:
+                commit["epoch"] = [epoch[0], int(epoch[1])]
+            tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(commit, f)
+            final = self._log_path(commit["version"])
+            try:
+                os.link(tmp, final)
+                os.unlink(tmp)
+                self.refresh()
+                return int(commit["version"])
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+        raise RuntimeError(f"commit contention: gave up after {max_retries} retries")
+
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        epoch: tuple[str, int] | None = None,
+    ) -> int:
+        h, schema = self._ensure_schema(df.schema)
+        adds = self._write_data(align_to_schema(df, schema), h)
+        return self._commit(
+            "append", adds, h, schema,
+            {"operation": "append", **(summary or {})}, epoch=epoch,
+        )
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        epoch: tuple[str, int] | None = None,
+    ) -> int:
+        h, schema = self._ensure_schema(df.schema)
+        adds = self._write_data(align_to_schema(df, schema), h)
+        return self._commit(
+            "overwrite", adds, h, schema,
+            {"operation": "overwrite", **(summary or {})}, epoch=epoch,
+        )
+
+    def merge(
+        self,
+        source: DataFrame,
+        resolve: Callable[[DataFrame, DataFrame], DataFrame],
+        evolve_schema: T.StructType | None = None,
+        summary: dict[str, Any] | None = None,
+        epoch: tuple[str, int] | None = None,
+        touched: list[int] | None = None,
+        on_conflict: str = "raise",
+    ) -> int:
+        h, schema = self._ensure_schema(evolve_schema or source.schema)
+        if touched is None:
+            touched = self.touched_buckets(source)
+        expected = {
+            str(b): list(self._state.live.get(str(b), [])) for b in touched
+        }
+        target_subset = align_to_schema(self.read(buckets=touched), schema)
+        resolved = resolve(target_subset, source)
+        aligned = align_to_schema(resolved, schema, keep=["_bucket"])
+        adds = self._write_data(aligned, h)
+        replaced = sorted({str(b) for b in touched} | set(adds))
+        return self._commit(
+            "replace", adds, h, schema,
+            {"operation": "merge", "touched_buckets": touched, **(summary or {})},
+            epoch=epoch, replaced=replaced, expected=expected,
+            on_conflict=on_conflict,
+        )
+
+    # --------------------------------------------------------- maintenance
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        min_files: int = 2,
+        summary: dict[str, Any] | None = None,
+    ) -> int:
+        cand = sorted(
+            int(b)
+            for b, fs in self._state.live.items()
+            if len(fs) >= min_files and (buckets is None or int(b) in set(buckets))
+        )
+        if not cand:
+            return self._state.version
+        h, schema = self._ensure_schema(self.schema)
+        expected = {str(b): list(self._state.live.get(str(b), [])) for b in cand}
+        df = align_to_schema(self.read(buckets=cand), schema)
+        adds = self._write_data(df, h)
+        return self._commit(
+            "replace", adds, h, schema,
+            {"operation": "compact", "buckets": cand, **(summary or {})},
+            replaced=sorted({str(b) for b in cand} | set(adds)),
+            expected=expected, on_conflict="keep_fresh",
+        )
+
+    def expire_snapshots(
+        self, keep_last: int = 10, grace_seconds: int = 3600
+    ) -> dict[str, int]:
+        """Checkpoint the fold at (newest - keep_last + 1) and GC commit
+        files at or below it plus data files referenced by NO surviving
+        version (mtime-grace-guarded, same contract as LakeTable)."""
+        self.refresh()
+        newest = self._state.version
+        cut = newest - keep_last + 1
+        removed_log = removed_data = 0
+        base = self._ckpt.version if self._ckpt is not None else -1
+        if cut > base:
+            state = self._state_at(cut)
+            ck = {
+                "version": state.version,
+                "live": state.live,
+                "schemas": {
+                    h: json.loads(s.json()) for h, s in state.schemas.items()
+                },
+                "schema_order": state.schema_order,
+                "epochs": state.epochs,
+                "history": state.history,
+            }
+            log = os.path.join(self.path, LOG_DIR)
+            tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(ck, f)
+            os.replace(tmp, os.path.join(log, "_ckpt-%012d.json" % cut))
+            for v in range(base if base >= 0 else 0, cut + 1):
+                p = self._log_path(v)
+                if os.path.isfile(p):
+                    os.unlink(p)
+                    removed_log += 1
+            for old in glob.glob(os.path.join(log, "_ckpt-*.json")):
+                if old.endswith("_ckpt-%012d.json" % cut):
+                    continue
+                os.unlink(old)
+            self._ckpt, self._commits = None, []
+            self.refresh()
+
+        # GC data files referenced by no surviving version
+        referenced: set[str] = set()
+        survive_from = self._ckpt.version if self._ckpt is not None else 0
+        for v in range(survive_from, self._state.version + 1):
+            try:
+                s = self._state_at(v)
+            except ValueError:
+                continue
+            for fs in s.live.values():
+                referenced.update(e["path"] for e in fs)
+        now = time.time()
+        for fp in glob.glob(os.path.join(self.path, DATA_DIR, "*", "*", "*.parquet")):
+            rel = os.path.relpath(fp, self.path)
+            if rel in referenced:
+                continue
+            try:
+                if now - os.path.getmtime(fp) < grace_seconds:
+                    continue
+                os.unlink(fp)
+                removed_data += 1
+            except FileNotFoundError:
+                continue
+        # same result keys as LakeTable so callers treat formats alike
+        return {
+            "expired_snapshots": removed_log,
+            "deleted_data_files": removed_data,
+        }

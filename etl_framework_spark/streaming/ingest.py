@@ -49,6 +49,7 @@ def start_ingest(
     compact_min_files: int = 4,
     expire_keep_last: int = 50,
     expire_grace_seconds: int = 3600,
+    table_factory: Callable[[SparkSession, str], "LakeTable"] | None = None,
 ) -> StreamingQuery:
     """Tail ``change_dir`` (recursive parquet file source) into the
     LakeTable at ``table_path``.
@@ -73,9 +74,14 @@ def start_ingest(
         .parquet(change_dir)
     )
 
+    make_table = table_factory or LakeTable
+
     def apply_batch(batch_df, epoch_id: int) -> None:
         # refresh: another stream/writer may have advanced the snapshot.
-        table = LakeTable(spark, table_path)
+        # table_factory is the KeyedTable seam — any protocol
+        # implementation (LakeTable, DirTable, an Iceberg adapter)
+        # drops in here; conformance gated in test_table_conformance.py.
+        table = make_table(spark, table_path)
         apply_changes(
             table,
             batch_df,
