@@ -68,14 +68,42 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def _decode_image_stub(payload: bytes, target: tuple[int, int]) -> np.ndarray:
-    """STUB decode+resize. Production: PIL.Image.open(...).resize(target).
-    Here: deterministic pixels derived from the payload digest so tests
-    assert exact values. Raises on None like a real decoder would."""
+    """STUB decode+resize (the DEFAULT decoder — deterministic, so the
+    driver oracle and exact-value tests stay stable). Production swaps
+    in ``pil_image_decoder()`` (or any ``(payload, (w, h)) -> HxWx3
+    uint8 array`` callable) via ``image_features(decoder=...)`` — same
+    Arrow-batch stage, zero plumbing changes. Raises on None like a
+    real decoder would."""
     if payload is None:
         raise ValueError("cannot decode null payload")
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(target[1], target[0], 3), dtype=np.uint8)
+
+
+def pil_image_decoder():
+    """A REAL image decoder for ``image_features`` — import-gated like
+    the xlsx/pdf codecs: returns a ``(payload, (w, h)) -> np.ndarray``
+    callable backed by Pillow, or raises ImportError when Pillow is not
+    installed (this container ships none; the test suite exercises both
+    arms). Executors must also have Pillow — the closure pickles the
+    module by reference, the normal cluster-deps contract."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env-dependent arm
+        raise ImportError(
+            "Pillow not installed; omit `decoder` to use the deterministic stub"
+        ) from e
+
+    def decode(payload: bytes, target: tuple[int, int]) -> np.ndarray:
+        if payload is None:
+            raise ValueError("cannot decode null payload")
+        img = Image.open(io.BytesIO(payload)).convert("RGB").resize(target)
+        return np.asarray(img, dtype=np.uint8)
+
+    return decode
 
 
 def gen_media(spark, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
@@ -132,12 +160,21 @@ def repartition_for_media(df: DataFrame, payload_col: str = "payload", target_mb
 
 
 def image_features(
-    media: DataFrame, target: tuple[int, int] = (32, 32), emb_dim: int = 16
+    media: DataFrame,
+    target: tuple[int, int] = (32, 32),
+    emb_dim: int = 16,
+    decoder=None,
 ) -> DataFrame:
     """Decode -> resize -> luma + tiny embedding, one Arrow batch at a
     time. The embedding is the channel-mean grid flattened and l2-normed
-    (stub for a real vision encoder; identical plumbing)."""
+    (stub for a real vision encoder; identical plumbing).
+
+    ``decoder``: ``(payload: bytes, (w, h)) -> HxWx3 uint8 ndarray``.
+    Default is the deterministic stub; pass ``pil_image_decoder()`` for
+    real PNG/JPEG decoding when Pillow is available. A decoder failure
+    (ValueError) yields a null-feature row, never a dead task."""
     tw, th = target
+    decode = decoder or _decode_image_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -147,7 +184,7 @@ def image_features(
                     continue
                 payload = row["payload"]
                 try:
-                    img = _decode_image_stub(
+                    img = decode(
                         None if payload is None else bytes(payload), (tw, th)
                     )
                 except ValueError:
@@ -186,10 +223,22 @@ def image_features(
     return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
+def _extract_frame_stub(payload: bytes, frame_ms: int, frame_idx: int) -> bytes:
+    """STUB frame extraction: deterministic bytes per (payload, index).
+    Production: an ffmpeg/libav seek-and-decode callable with the same
+    signature, injected via ``sample_frames(frame_extractor=...)``."""
+    return payload + frame_idx.to_bytes(4, "big")
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 5000, frame_extractor=None
+) -> DataFrame:
     """Frame sampling for video rows: emit one row per sampled frame
-    (UDTF-shaped: 1 -> N). Decode is stubbed (frame hash = digest of
-    payload + frame index); timing/layout logic is real."""
+    (UDTF-shaped: 1 -> N). Timing/layout logic is real; frame content
+    comes from ``frame_extractor(payload, frame_ms, frame_idx) ->
+    bytes`` (default: deterministic stub; inject an ffmpeg-backed
+    callable in production — same Arrow-batch stage)."""
+    extract = frame_extractor or _extract_frame_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -205,7 +254,7 @@ def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
                             "frame_idx": idx,
                             "frame_ms": ms,
                             "frame_sha256": hashlib.sha256(
-                                bytes(row["payload"]) + idx.to_bytes(4, "big")
+                                extract(bytes(row["payload"]), ms, idx)
                             ).hexdigest(),
                         }
                     )

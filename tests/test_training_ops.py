@@ -8,6 +8,7 @@ assert the operator recovers exactly it.
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -188,6 +189,56 @@ def test_media_null_payload_yields_null_features(spark):
     )
     rows = {r["media_id"]: r for r in image_features(m).collect()}
     assert rows[0]["sha256"] is None  # decode failure -> null features, row kept
+
+
+def test_image_features_custom_decoder_injected(spark):
+    # A user-supplied decoder flows through the same Arrow-batch stage:
+    # constant-gray frames -> luma coefficients sum to 1.0 -> mean_luma
+    # equals the gray level exactly, which the stub could never produce.
+    def flat_gray(payload, target):
+        if payload is None:
+            raise ValueError("cannot decode null payload")
+        return np.full((target[1], target[0], 3), 100, dtype=np.uint8)
+
+    m = gen_media(spark, 12, seed=9)
+    rows = image_features(m, decoder=flat_gray).collect()
+    assert rows and all(abs(r["mean_luma"] - 100.0) < 1e-9 for r in rows)
+    # and a decoder failure still yields a null-feature row, not a dead task
+    def picky(payload, target):
+        raise ValueError("corrupt")
+
+    rows = image_features(m, decoder=picky).collect()
+    assert rows and all(r["sha256"] is None for r in rows)
+
+
+def test_pil_image_decoder_both_arms(spark):
+    import importlib.util
+
+    from etl_framework_spark.operators.multimodal import pil_image_decoder
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(ImportError, match="Pillow"):
+            pil_image_decoder()
+        return
+    # PIL-present arm: decode a real 2x2 PNG through the full stage
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (2, 2), (10, 20, 30)).save(buf, format="PNG")
+    m = gen_media(spark, 3, seed=1).withColumn("payload", F.lit(buf.getvalue()))
+    r = image_features(m, decoder=pil_image_decoder()).collect()
+    assert r and all(row["sha256"] is not None for row in r)
+
+
+def test_sample_frames_custom_extractor_injected(spark):
+    import hashlib
+
+    m = gen_media(spark, 30, seed=9)
+    frames = sample_frames(m, every_ms=5000, frame_extractor=lambda p, ms, i: b"x").collect()
+    want = hashlib.sha256(b"x").hexdigest()
+    assert frames and all(r["frame_sha256"] == want for r in frames)
 
 
 def test_frame_sampling_counts_match_duration(spark):
