@@ -179,7 +179,9 @@ def build_create_table_sql(
 ) -> str:
     """CREATE TABLE with a PRIMARY KEY on the merge keys — what a fresh
     keyed target needs for ``ON CONFLICT`` / ``ON DUPLICATE KEY`` to have
-    a constraint to match (a CTAS or ``df.write.jdbc`` table has none)."""
+    a constraint to match (a CTAS or ``df.write.jdbc`` table has none).
+    With no ``key_columns`` the PK clause is omitted (plain pre-created
+    targets and stage tables)."""
     q = lambda n: _q(dialect, n)  # noqa: E731
     keys = set(key_columns)
     cols = ", ".join(
@@ -187,7 +189,8 @@ def build_create_table_sql(
         for f in schema.fields
     )
     pk = ", ".join(q(k) for k in key_columns)
-    return f"CREATE TABLE {q(target)} ({cols}, PRIMARY KEY ({pk}))"
+    pk_clause = f", PRIMARY KEY ({pk})" if key_columns else ""
+    return f"CREATE TABLE {q(target)} ({cols}{pk_clause})"
 
 
 def _generic_update(
@@ -234,13 +237,36 @@ class JdbcLoader:
         # (a missing one then fails loudly in the merge instead of being
         # silently created empty).
         self._exists = exists
-        # writer(df, table, mode) — injectable for tests; default is the
-        # parallel Spark JDBC writer (one connection per partition).
-        self._writer = writer or (
-            lambda df, table, mode: df.write.jdbc(
-                self.url, table, mode=mode, properties=self.properties
+        # writer(df, table, mode) — injectable for tests; None means the
+        # parallel Spark JDBC writer (one connection per partition) with
+        # loader-side table pre-creation, see _write.
+        self._writer = writer
+
+    # -------------------------------------------------------------- write
+    def _write(self, df: DataFrame, table: str, mode: str) -> None:
+        """Land a batch in ``table`` via the parallel Spark JDBC writer.
+
+        On the real-JVM path (no injected writer) the LOADER pre-creates
+        a missing table and downgrades the mode to ``append``: Spark's
+        own exists-probe misfires on drivers that raise catalog errors
+        at statement-PREPARE time (observed with DuckDB's JDBC driver —
+        Spark concludes the table exists, skips CREATE, and the insert
+        prepare fails), and a loader-created table also makes ``error``
+        mode semantics ours to enforce rather than probe-dependent."""
+        if self._writer is not None:
+            self._writer(df, table, mode)
+            return
+        exists = self._table_exists(table)
+        if mode == "error" and exists:
+            raise ValueError(
+                f"target table {table!r} already exists (strategy=fail)"
             )
-        )
+        if not exists:
+            self._execute(
+                [build_create_table_sql(self.dialect, table, df.schema, [])]
+            )
+            mode = "append"  # fresh empty table: append == overwrite
+        df.write.jdbc(self.url, table, mode=mode, properties=self.properties)
 
     # ------------------------------------------------------------ execute
     def _execute(self, statements: list[str]) -> None:
@@ -323,7 +349,7 @@ class JdbcLoader:
                 LoadStrategy.REPLACE: "overwrite",
                 LoadStrategy.APPEND: "append",
             }[strategy]
-            self._writer(df, target, mode)
+            self._write(df, target, mode)
             return target
 
         # UPDATE / UPSERT: dedupe the batch on the key (the merge
@@ -337,7 +363,7 @@ class JdbcLoader:
                 # reference parity: UPDATE to a missing target replaces
                 # with the batch data (sql_loader.py:236-239) instead of
                 # silently dropping it against an empty table.
-                self._writer(batch, target, "overwrite")
+                self._write(batch, target, "overwrite")
                 return target
             # UPSERT to a missing target: create it WITH a PRIMARY KEY on
             # the merge keys so the native ON CONFLICT / ON DUPLICATE KEY
@@ -352,7 +378,7 @@ class JdbcLoader:
         # clobber each other's stage, and a failed merge can't orphan a
         # name the next load would collide with.
         stage = f"{target}__etl_stage_{uuid.uuid4().hex[:8]}"
-        self._writer(batch, stage, "overwrite")
+        self._write(batch, stage, "overwrite")
         stmts = create + build_merge_sql(
             self.dialect,
             target,
