@@ -18,11 +18,12 @@ changes on Spark, by design:
   generic fallback (update-then-insert-where-not-exists), mirroring the
   reference's dispatch order.
 
-The sandbox ships no JDBC driver jar, so statement EXECUTION is
-injected: pass ``executor=callable`` (tests pass a recorder; production
-omits it to use the driver JVM's ``java.sql.DriverManager``). SQL
-GENERATION — the part worth testing — is pure and covered by unit
-tests.
+Testing is layered: unit tests inject ``executor``/``writer`` and
+verify generated SQL (executing it on python-duckdb); the
+``@pytest.mark.jdbc`` integration suite (tests/test_jdbc_integration.py)
+drives the DEFAULT path — parallel ``df.write.jdbc`` partition
+connections plus ``java.sql.DriverManager`` merges — against a real
+database through a JDBC driver jar, skipping when no jar is present.
 
 NOTE: native upserts require a UNIQUE constraint on the key columns
 (same requirement as the reference's postgres/mysql paths). A keyed

@@ -19,5 +19,10 @@ def spark():
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running soak tests")
     config.addinivalue_line(
+        "markers",
+        "jdbc: full-path integration against a real JDBC driver jar "
+        "(skips when none is present)",
+    )
+    config.addinivalue_line(
         "markers", "performance: reference throughput-floor parity tests"
     )
