@@ -683,6 +683,33 @@ def q_cdc_apply_batch(spark, sf):  # batch apply_changes -> final table state
     return fs
 
 
+def q_cdc_apply_batch_dir(spark, sf):  # same replay through the 2nd format
+    """Format-seam evidence (``lakehouse.protocol.KeyedTable``): the SAME
+    ``apply_changes`` engine code replays the same change batch into a
+    ``DirTable`` (flat-directory log-structured format) and must reach
+    the identical final state as the ``LakeTable`` run — one oracle, two
+    table formats."""
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.cdc import apply_changes
+    from etl_framework_spark.lakehouse.dirtable import DirTable
+    from etl_framework_spark.schemas import KEY_COLUMNS, TRANSCRIPT_SCHEMA
+
+    from pyspark.sql import types as T
+
+    changes = _events_as_changes(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="entry_cdc_dir_")
+    stored = T.StructType(TRANSCRIPT_SCHEMA.fields)
+    table = DirTable.create(
+        spark, f"{tmp}/t", schema=stored, key_columns=KEY_COLUMNS, n_buckets=16
+    )
+    apply_changes(table, changes, stream_id="entry", epoch_id=0)
+    fs = _materialize(_final_state(table))  # detach before tmp cleanup
+    shutil.rmtree(tmp, ignore_errors=True)
+    return fs
+
+
 def q_cdc_changes_feed(spark, sf):  # CDC-out: row-level diff between versions
     """§2.10 change feed (``LakeTable.changes_between``): apply the log
     in two lsn-halves, emit one I/U/D row per key whose state changed
@@ -1206,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_strings": q_sanitize_strings,
         "enrich_lookup": q_enrich_lookup,
         "cdc_apply_batch": q_cdc_apply_batch,
+        "cdc_apply_batch_dir": q_cdc_apply_batch_dir,
         "cdc_changes_feed": q_cdc_changes_feed,
         "cdc_stream_apply": q_cdc_stream_apply,
         "asof_join": q_asof_join,
@@ -1448,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "cdc_apply_batch": _CDC_REPLAY_ORACLE,
+        "cdc_apply_batch_dir": _CDC_REPLAY_ORACLE,
         "cdc_changes_feed": """
             WITH ch AS (
                 SELECT CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
