@@ -237,8 +237,15 @@ class DirTable:
         another process expired the log)."""
         if self._ckpt is None:
             self._ckpt = self._load_checkpoint()
+        if self._ckpt is not None:
+            # drop cached commits the checkpoint has already absorbed
+            # (e.g. this handle cached v0..v10, then another process
+            # expired the log and published _ckpt-8: keep only v9, v10)
+            base_v = self._ckpt.version
+            self._commits = [
+                c for c in self._commits if int(c["version"]) > base_v
+            ]
         base = self._ckpt.version if self._ckpt is not None else -1
-        # drop cached commits a newer checkpoint has absorbed
         nxt = base + len(self._commits) + 1
         while True:
             p = self._log_path(nxt)
@@ -250,6 +257,16 @@ class DirTable:
         state = self._ckpt.copy() if self._ckpt is not None else _State()
         for c in self._commits:
             state.fold(c)
+        # If a checkpoint NEWER than our fold exists, the log between our
+        # cached chain and now was expired under us: folding would stop at
+        # the stale gap and — worse — a subsequent commit could os.link a
+        # version number whose log file was deleted, silently forking
+        # history. Re-seed from that checkpoint (strictly increasing
+        # version ⇒ the recursion terminates).
+        ck = self._load_checkpoint()
+        if ck is not None and ck.version > state.version:
+            self._ckpt, self._commits = ck, []
+            return self.refresh()
         if state.version < 0:
             # base checkpoint vanished mid-race or log empty: rescan
             ck = self._load_checkpoint()
@@ -574,9 +591,16 @@ class DirTable:
                     os.unlink(p)
                     removed_log += 1
             for old in glob.glob(os.path.join(log, "_ckpt-*.json")):
-                if old.endswith("_ckpt-%012d.json" % cut):
+                # Only remove OLDER checkpoints. A concurrent maintainer
+                # may have published a newer one whose absorbed commit
+                # logs are already gone — deleting it would regress the
+                # table to this (older) cut and orphan those versions.
+                try:
+                    old_v = int(os.path.basename(old)[len("_ckpt-"):-len(".json")])
+                except ValueError:
                     continue
-                os.unlink(old)
+                if old_v < cut:
+                    os.unlink(old)
             self._ckpt, self._commits = None, []
             self.refresh()
 

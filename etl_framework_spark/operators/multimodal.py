@@ -187,7 +187,11 @@ def image_features(
                     img = decode(
                         None if payload is None else bytes(payload), (tw, th)
                     )
-                except ValueError:
+                except Exception:
+                    # ANY decoder failure → null-feature row. Real codecs
+                    # raise their own classes on corrupt payloads (e.g.
+                    # PIL.UnidentifiedImageError, an OSError) — at scale
+                    # one bad byte-string must not kill the task.
                     out.append(
                         {
                             "media_id": row["media_id"],

@@ -198,10 +198,16 @@ class AuditLogger:
     queryable, snapshot-versioned table
     (reference:src/etl_framework/security/audit_logger.py:100-146)."""
 
+    #: memory-only retention bound — with no file and no table sink the
+    #: buffer IS the audit trail, but a long-lived scheduler must not
+    #: grow it forever: keep the newest MAX_MEMORY_EVENTS, count drops.
+    MAX_MEMORY_EVENTS = 10_000
+
     def __init__(self, log_file: str | None = None, table_path: str | None = None):
         self.log_file = log_file
         self.table_path = table_path
         self._buffer: list[dict] = []
+        self.dropped_events = 0
         if log_file:
             os.makedirs(os.path.dirname(os.path.abspath(log_file)), exist_ok=True)
 
@@ -221,6 +227,11 @@ class AuditLogger:
         if self.log_file:
             with open(self.log_file, "a") as f:
                 f.write(json.dumps(record) + "\n")
+        elif not self.table_path and len(self._buffer) > self.MAX_MEMORY_EVENTS:
+            # memory-only config: bounded ring, newest events win
+            excess = len(self._buffer) - self.MAX_MEMORY_EVENTS
+            del self._buffer[:excess]
+            self.dropped_events += excess
         return record
 
     def log_pipeline_execution(
@@ -274,7 +285,10 @@ class AuditLogger:
         events were already durably written at log time, and a
         long-lived pipeline process must not accumulate every audit
         event in memory forever. In a memory-ONLY config (no file, no
-        table) the buffer IS the audit trail, so flush keeps it."""
+        table) the buffer IS the audit trail, so flush keeps it —
+        bounded at ``MAX_MEMORY_EVENTS`` (newest win; ``dropped_events``
+        counts evictions) so the default secure-pipeline config cannot
+        grow without bound in a week-long scheduler process."""
         if not self._buffer:
             return None
         if not self.table_path:

@@ -182,7 +182,11 @@ def build_create_table_sql(
     keyed target needs for ``ON CONFLICT`` / ``ON DUPLICATE KEY`` to have
     a constraint to match (a CTAS or ``df.write.jdbc`` table has none).
     With no ``key_columns`` the PK clause is omitted (plain pre-created
-    targets and stage tables)."""
+    targets and stage tables).
+
+    Emitted race-safe (``IF NOT EXISTS`` / ``IF OBJECT_ID ... IS NULL``):
+    two concurrent first loads to one missing target both probe missing
+    and both emit the CREATE; the loser must no-op, not fail the load."""
     q = lambda n: _q(dialect, n)  # noqa: E731
     keys = set(key_columns)
     cols = ", ".join(
@@ -191,7 +195,32 @@ def build_create_table_sql(
     )
     pk = ", ".join(q(k) for k in key_columns)
     pk_clause = f", PRIMARY KEY ({pk})" if key_columns else ""
-    return f"CREATE TABLE {q(target)} ({cols}{pk_clause})"
+    # IF NOT EXISTS is supported by every dialect this loader speaks
+    # (postgresql, mysql, sqlite, and generic/duckdb).
+    return f"CREATE TABLE IF NOT EXISTS {q(target)} ({cols}{pk_clause})"
+
+
+#: substrings that identify a "relation/table does not exist" error
+#: across the supported dialects' drivers (postgres, mysql, sqlite,
+#: duckdb, sqlserver, h2/oracle-style "not found")
+_MISSING_TABLE_PATTERNS = (
+    "does not exist",
+    "doesn't exist",
+    "no such table",
+    "not found",
+    "invalid object name",
+    "unknown table",
+)
+
+
+def _is_missing_table_error(ex: Exception) -> bool:
+    """True when the probe error clearly means "the table is missing" —
+    anything ambiguous (connection drop, lock timeout, permission) is
+    False so callers fail loudly instead of treating a live target as
+    absent (which would route an UPDATE load to a destructive
+    overwrite)."""
+    msg = str(ex).lower()
+    return any(pat in msg for pat in _MISSING_TABLE_PATTERNS)
 
 
 def _generic_update(
@@ -318,8 +347,18 @@ class JdbcLoader:
                     f"SELECT 1 FROM {_q(self.dialect, target)} WHERE 1 = 0"
                 )
                 return True
-            except Exception:
-                return False
+            except Exception as ex:
+                # ONLY a catalog miss means "missing". Any other probe
+                # failure (connection drop, lock timeout, missing SELECT
+                # grant) must NOT — an UPDATE load would take the
+                # missing-target branch and overwrite a live table.
+                if _is_missing_table_error(ex):
+                    return False
+                raise RuntimeError(
+                    f"existence probe for {target!r} failed for a reason "
+                    f"other than a missing table; refusing to guess "
+                    f"(pass exists=... to override): {ex}"
+                ) from ex
             finally:
                 st.close()
         finally:

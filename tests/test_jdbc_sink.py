@@ -203,7 +203,7 @@ def test_upsert_missing_target_creates_with_primary_key(batch):
     )
     loader.load(batch, "tgt", strategy="upsert", key_columns=["id"])
     create = rec.statements[0]
-    assert create.startswith('CREATE TABLE "tgt" (')
+    assert create.startswith('CREATE TABLE IF NOT EXISTS "tgt" (')
     assert '"id" INTEGER' in create and '"v" DOUBLE PRECISION' in create
     assert 'PRIMARY KEY ("id")' in create
     assert "ON CONFLICT" in rec.statements[1]
@@ -280,3 +280,53 @@ def test_fresh_target_upsert_executes_end_to_end(spark, batch):
         "SELECT table_name FROM information_schema.tables WHERE table_name LIKE '%etl_stage%'"
     ).fetchall()
     assert leftover == []
+
+
+def test_missing_table_error_classifier():
+    """Only a clear catalog miss counts as "table missing" — ambiguous
+    probe failures (connection drop, lock timeout, permissions) must NOT,
+    or an UPDATE load would route a live target to a destructive
+    overwrite (round-4 review)."""
+    from etl_framework_spark.sinks.jdbc import _is_missing_table_error
+
+    missing = [
+        'relation "tgt" does not exist',            # postgres / duckdb
+        "Table 'db.tgt' doesn't exist",             # mysql
+        "no such table: tgt",                       # sqlite
+        "Table TGT not found",                      # h2
+        "Invalid object name 'tgt'",                # sqlserver
+        "Unknown table 'tgt'",                      # mysql DROP variant
+    ]
+    not_missing = [
+        "Connection refused: connect",
+        "Lock wait timeout exceeded; try restarting transaction",
+        "permission denied for relation tgt",
+        "I/O error while communicating with server",
+    ]
+    assert all(_is_missing_table_error(Exception(m)) for m in missing)
+    assert not any(_is_missing_table_error(Exception(m)) for m in not_missing)
+
+
+def test_create_table_sql_is_race_safe():
+    """Two concurrent first loads both probe 'missing' and both emit the
+    CREATE; the loser must no-op (IF NOT EXISTS / IF OBJECT_ID guard),
+    not fail the whole load."""
+    from pyspark.sql import types as T
+
+    from etl_framework_spark.sinks.jdbc import build_create_table_sql
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    for dialect in ("postgresql", "mysql", "sqlite", "generic"):
+        sql = build_create_table_sql(dialect, "tgt", schema, ["id"])
+        assert sql.startswith("CREATE TABLE IF NOT EXISTS"), (dialect, sql)
+    # and the guarded CREATE actually no-ops on a second run (DuckDB)
+    import duckdb
+
+    con = duckdb.connect()
+    sql = build_create_table_sql("postgresql", "tgt", schema, ["id"])
+    con.execute(sql)
+    con.execute(sql)  # loser of the race: must not raise
+    assert con.execute("SELECT COUNT(*) FROM tgt").fetchone()[0] == 0

@@ -451,6 +451,22 @@ def test_audit_memory_only_config_keeps_buffer_on_flush(spark):
     assert len(log.pending) == 1
 
 
+def test_audit_memory_only_buffer_is_bounded(spark, monkeypatch):
+    """Memory-only audit is the DEFAULT secure-pipeline config, so the
+    kept buffer must be a bounded ring (newest win, evictions counted) —
+    a week-long scheduler process cannot grow it without limit."""
+    from etl_framework_spark.security import AuditLogger
+
+    monkeypatch.setattr(AuditLogger, "MAX_MEMORY_EVENTS", 50)
+    log = AuditLogger(log_file=None, table_path=None)
+    for i in range(80):
+        log.log_event("x", "admin", {"i": i})
+    assert len(log.pending) == 50
+    assert log.dropped_events == 30
+    kept = [json.loads(r["details"])["i"] for r in log.pending]
+    assert kept == list(range(30, 80))  # newest survive, in order
+
+
 def test_json_string_extractor_path_errors(spark):
     from etl_framework_spark.pipeline import JsonStringExtractor
 

@@ -209,6 +209,13 @@ def test_image_features_custom_decoder_injected(spark):
 
     rows = image_features(m, decoder=picky).collect()
     assert rows and all(r["sha256"] is None for r in rows)
+    # real codecs raise their OWN classes on corrupt payloads (e.g.
+    # PIL.UnidentifiedImageError is an OSError) — same contract applies
+    def oserror_codec(payload, target):
+        raise OSError("cannot identify image file")
+
+    rows = image_features(m, decoder=oserror_codec).collect()
+    assert rows and all(r["sha256"] is None for r in rows)
 
 
 def test_pil_image_decoder_both_arms(spark):
