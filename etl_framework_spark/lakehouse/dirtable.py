@@ -533,6 +533,27 @@ class DirTable:
         )
 
     # --------------------------------------------------------- maintenance
+    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Row-level CDC-out feed between two committed versions — same
+        contract as ``LakeTable.changes_between`` (one row per changed
+        key, ``_change_type`` I/U/D). Bucket-pruned from the commit-log
+        fold: only buckets whose live file lists differ between the two
+        states are read. Versions below the oldest checkpoint raise
+        (expired from the time-travel window)."""
+        so, sn = self._state_at(v_from), self._state_at(v_to)
+
+        def files(state: _State, b: str) -> list[str]:
+            return [e["path"] for e in state.live.get(b, [])]
+
+        changed = sorted(
+            int(b)
+            for b in set(so.live) | set(sn.live)
+            if files(so, b) != files(sn, b)
+        )
+        from etl_framework_spark.lakehouse.feed import diff_versions
+
+        return diff_versions(self, v_from, v_to, changed)
+
     def compact(
         self,
         buckets: list[int] | None = None,

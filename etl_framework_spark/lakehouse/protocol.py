@@ -65,6 +65,13 @@ class KeyedTable(Protocol):
         merge IO)."""
         ...
 
+    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """CDC-out: one row per key whose state changed between two
+        committed versions, tagged ``_change_type`` I/U/D. The join is
+        the shared ``lakehouse.feed.diff_versions``; each format
+        supplies bucket pruning from its own metadata."""
+        ...
+
     # ------------------------------------------------------------ writes
     def append(self, df: DataFrame, summary: dict | None = None, epoch: tuple[str, int] | None = None) -> int: ...
 

@@ -582,25 +582,9 @@ class LakeTable:
             ob, nb = old_snap.buckets, new_snap.buckets
         changed = [b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)]
         changed_ids = sorted(int(b) for b in changed)
-        old = self.current(buckets=changed_ids, version=v_from)
-        new = self.current(buckets=changed_ids, version=v_to)
-        keys = self.key_columns
-        o = old.select(*keys, F.col("_lsn").alias("_old_lsn")).alias("o")
-        n = new.alias("n")
-        joined = n.join(o, on=keys, how="full_outer")
-        # _lsn is non-null for every live stored row, so side-nullness of
-        # _lsn is the presence test (tombstones were filtered by current())
-        ctype = (
-            F.when(F.col("o._old_lsn").isNull(), F.lit("I"))
-            .when(F.col("n._lsn").isNull(), F.lit("D"))
-            .when(F.col("n._lsn") != F.col("o._old_lsn"), F.lit("U"))
-        )
-        out_cols = [c for c in new.columns if c != "_deleted"]
-        return (
-            joined.withColumn("_change_type", ctype)
-            .where(F.col("_change_type").isNotNull())
-            .select(*[F.col(f"n.{c}").alias(c) if c not in keys else F.col(c) for c in out_cols], "_change_type")
-        )
+        from etl_framework_spark.lakehouse.feed import diff_versions
+
+        return diff_versions(self, v_from, v_to, changed_ids)
 
     def compact_tombstones(self, older_than) -> int:
         """Garbage-collect tombstones whose ``ts`` predates the log's

@@ -297,3 +297,41 @@ def test_streaming_ingest_through_factory(spark, tmp_path, impl):
         got, exp.reset_index(drop=True), check_dtype=False
     )
     assert t.last_epoch("stream") >= 0
+
+
+def test_changes_between_matches_state_diff(spark, tmp_path, impl):
+    """CDC-out on BOTH formats: apply the log in two lsn-halves, then
+    changes_between(v1, v2) must equal the key-level diff of the two
+    replay-oracle states (I = appeared, D = disappeared, U = lsn moved)."""
+    t = impl.create(
+        spark, str(tmp_path / "t"), STORED, KEY_COLUMNS, n_buckets=8
+    )
+    changes = gen_changes(spark, 3000, seed=17)
+    pdf = changes.toPandas().sort_values(["ts", "lsn"], kind="mergesort")
+    half = len(pdf) // 2
+    for ep, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        batch = spark.createDataFrame(part, schema=CHANGE_SCHEMA)
+        apply_changes(t, batch, stream_id="s", epoch_id=ep)
+    v1, v2 = t.version - 1, t.version
+
+    s1 = replay(pdf.iloc[:half]).set_index(["conv_id", "turn_idx"])
+    s2 = replay(pdf).set_index(["conv_id", "turn_idx"])
+    expected = {}
+    for k in s2.index.difference(s1.index):
+        expected[k] = "I"
+    for k in s1.index.difference(s2.index):
+        expected[k] = "D"
+    both = s1.index.intersection(s2.index)
+    moved = both[s1.loc[both, "_lsn"].to_numpy() != s2.loc[both, "_lsn"].to_numpy()]
+    for k in moved:
+        expected[k] = "U"
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["_change_type"]
+        for r in t.changes_between(v1, v2).collect()
+    }
+    assert got == expected
+    # and U/I rows carry the NEW payload
+    feed = t.changes_between(v1, v2).where("_change_type != 'D'").collect()
+    for r in feed:
+        assert r["text"] == s2.loc[(r["conv_id"], r["turn_idx"]), "text"]
