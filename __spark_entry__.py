@@ -745,6 +745,101 @@ def q_cdc_changes_feed(spark, sf):  # CDC-out: row-level diff between versions
     return feed
 
 
+def q_cdc_time_travel(spark, sf):  # read the table AT a historical version
+    """Time travel (``LakeTable.read(version=)`` / ``snapshot_at``,
+    reference parity: incremental loads are re-runnable against a past
+    state): apply the log in two lsn-halves (two commits), then read the
+    table AT the first committed version — must equal an LWW replay of
+    ONLY the first half. Copy-on-write never mutates old data files, so
+    any committed version stays readable until GC."""
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.cdc import apply_changes
+    from etl_framework_spark.lakehouse import LakeTable
+    from etl_framework_spark.schemas import KEY_COLUMNS, TRANSCRIPT_SCHEMA
+
+    from pyspark.sql import types as T
+
+    changes = _events_as_changes(spark, sf)
+    mid = changes.agg(F.max("lsn")).head()[0] // 2
+    tmp = tempfile.mkdtemp(prefix="entry_tt_")
+    table = LakeTable.create(
+        spark, f"{tmp}/t", schema=T.StructType(TRANSCRIPT_SCHEMA.fields),
+        key_columns=KEY_COLUMNS, n_buckets=16,
+    )
+    apply_changes(table, changes.where(F.col("lsn") <= mid), stream_id="tt", epoch_id=0)
+    v1 = table.version
+    apply_changes(table, changes.where(F.col("lsn") > mid), stream_id="tt", epoch_id=1)
+    out = _materialize(
+        table.refresh().current(version=v1).select(
+            "conv_id", "turn_idx", "role", "text", "ts", "_lsn"
+        )
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_cdc_compacted_state(spark, sf):  # maintenance is state-preserving
+    """Table maintenance (``compact`` + ``expire_snapshots``): apply the
+    log in two halves, force-compact every bucket (key-sorted rewrite),
+    expire all but the latest snapshot (orphan-file GC, zero grace —
+    no concurrent writers here), then read the final state. Maintenance
+    is a pure physical rewrite, so the result must be IDENTICAL to the
+    plain replay oracle."""
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.cdc import apply_changes
+    from etl_framework_spark.lakehouse import LakeTable
+    from etl_framework_spark.schemas import KEY_COLUMNS, TRANSCRIPT_SCHEMA
+
+    from pyspark.sql import types as T
+
+    changes = _events_as_changes(spark, sf)
+    mid = changes.agg(F.max("lsn")).head()[0] // 2
+    tmp = tempfile.mkdtemp(prefix="entry_compact_")
+    table = LakeTable.create(
+        spark, f"{tmp}/t", schema=T.StructType(TRANSCRIPT_SCHEMA.fields),
+        key_columns=KEY_COLUMNS, n_buckets=16,
+    )
+    apply_changes(table, changes.where(F.col("lsn") <= mid), stream_id="c", epoch_id=0)
+    apply_changes(table, changes.where(F.col("lsn") > mid), stream_id="c", epoch_id=1)
+    table.compact(min_files=1)  # rewrite every bucket, not just fragmented ones
+    table.refresh().expire_snapshots(keep_last=1, grace_seconds=0)
+    fs = _materialize(_final_state(table))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return fs
+
+
+def q_cdc_delete_where(spark, sf):  # predicate delete -> bucket-pruned rewrite
+    """Predicate delete (``delete_where``, GDPR-style erasure): apply the
+    full log, delete every surviving row with role='purchase', read the
+    final state. Engine side rewrites ONLY buckets containing matches
+    (column-pruned hit scan first); oracle is the replay minus those
+    rows."""
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.cdc import apply_changes
+    from etl_framework_spark.lakehouse import LakeTable
+    from etl_framework_spark.schemas import KEY_COLUMNS, TRANSCRIPT_SCHEMA
+
+    from pyspark.sql import types as T
+
+    changes = _events_as_changes(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="entry_delw_")
+    table = LakeTable.create(
+        spark, f"{tmp}/t", schema=T.StructType(TRANSCRIPT_SCHEMA.fields),
+        key_columns=KEY_COLUMNS, n_buckets=16,
+    )
+    apply_changes(table, changes, stream_id="dw", epoch_id=0)
+    table.delete_where(F.col("role") == "purchase")
+    fs = _materialize(_final_state(table))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return fs
+
+
 def q_cdc_stream_apply(spark, sf):  # full streaming path -> final state
     import shutil
     import tempfile
@@ -1235,6 +1330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_batch": q_cdc_apply_batch,
         "cdc_apply_batch_dir": q_cdc_apply_batch_dir,
         "cdc_changes_feed": q_cdc_changes_feed,
+        "cdc_time_travel": q_cdc_time_travel,
+        "cdc_compacted_state": q_cdc_compacted_state,
+        "cdc_delete_where": q_cdc_delete_where,
         "cdc_stream_apply": q_cdc_stream_apply,
         "asof_join": q_asof_join,
         "percentiles": q_percentiles,
@@ -1514,6 +1612,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s2.lsn <> s1.lsn THEN 'U' END) IS NOT NULL
         """,
         "cdc_stream_apply": _CDC_REPLAY_ORACLE,
+        # time travel: LWW replay of ONLY the first lsn-half (the state
+        # committed at version v1)
+        "cdc_time_travel": """
+            WITH mid AS (SELECT MAX(event_id) // 2 AS m FROM events),
+            ch AS (
+                SELECT CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+                       event_id AS lsn, ts,
+                       'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                       CAST(event_id % 7 AS INT) AS turn_idx,
+                       event_type AS role,
+                       event_type || '#' || CAST(event_id AS VARCHAR) AS text
+                FROM events
+                WHERE event_id <= (SELECT m FROM mid)
+            ), w AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                FROM ch
+            )
+            SELECT conv_id, turn_idx, role, text, ts, lsn AS _lsn
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # compaction + snapshot expiry are pure physical rewrites: the
+        # logical state is the unchanged full replay
+        "cdc_compacted_state": _CDC_REPLAY_ORACLE,
+        # predicate delete: the full replay minus the deleted rows
+        "cdc_delete_where": """
+            WITH ch AS (
+                SELECT CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+                       event_id AS lsn, ts,
+                       'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                       CAST(event_id % 7 AS INT) AS turn_idx,
+                       event_type AS role,
+                       event_type || '#' || CAST(event_id AS VARCHAR) AS text
+                FROM events
+            ), w AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+                FROM ch
+            )
+            SELECT conv_id, turn_idx, role, text, ts, lsn AS _lsn
+            FROM w WHERE rn = 1 AND op <> 'D' AND role <> 'purchase'
+        """,
         "asof_join": """
             WITH p AS (
                 SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
