@@ -840,6 +840,42 @@ def q_cdc_delete_where(spark, sf):  # predicate delete -> bucket-pruned rewrite
     return fs
 
 
+def q_cdc_relay_state(spark, sf):  # table->table relay over the change feed
+    """CDC relay (``cdc.relay.sync_once``): apply the log to a
+    LakeTable in two lsn-halves, then replicate it commit-by-commit
+    into a DirTable (cross-format, different bucket count) via the
+    CDC-out feed with exactly-once watermarking. The REPLICA's state
+    must equal the full replay oracle — the whole chain
+    (apply → changes_between → key-replace merge) is value-checked."""
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.cdc import apply_changes, sync_once
+    from etl_framework_spark.lakehouse import LakeTable
+    from etl_framework_spark.lakehouse.dirtable import DirTable
+    from etl_framework_spark.schemas import KEY_COLUMNS, TRANSCRIPT_SCHEMA
+
+    from pyspark.sql import types as T
+
+    changes = _events_as_changes(spark, sf)
+    mid = changes.agg(F.max("lsn")).head()[0] // 2
+    tmp = tempfile.mkdtemp(prefix="entry_relay_")
+    stored = T.StructType(TRANSCRIPT_SCHEMA.fields)
+    src = LakeTable.create(
+        spark, f"{tmp}/src", schema=stored, key_columns=KEY_COLUMNS, n_buckets=16
+    )
+    dst = DirTable.create(
+        spark, f"{tmp}/dst", schema=stored, key_columns=KEY_COLUMNS, n_buckets=8
+    )
+    apply_changes(src, changes.where(F.col("lsn") <= mid), stream_id="r", epoch_id=0)
+    sync_once(src, dst)  # incremental: first half
+    apply_changes(src, changes.where(F.col("lsn") > mid), stream_id="r", epoch_id=1)
+    sync_once(src, dst)  # incremental: second half
+    fs = _materialize(_final_state(dst))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return fs
+
+
 def q_cdc_stream_apply(spark, sf):  # full streaming path -> final state
     import shutil
     import tempfile
@@ -1333,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_delete_where": q_cdc_delete_where,
+        "cdc_relay_state": q_cdc_relay_state,
         "cdc_stream_apply": q_cdc_stream_apply,
         "asof_join": q_asof_join,
         "percentiles": q_percentiles,
@@ -1636,6 +1673,9 @@ def oracle_sql() -> dict[str, str]:
         # compaction + snapshot expiry are pure physical rewrites: the
         # logical state is the unchanged full replay
         "cdc_compacted_state": _CDC_REPLAY_ORACLE,
+        # the relay replica must carry the same final state as a direct
+        # apply of the full log
+        "cdc_relay_state": _CDC_REPLAY_ORACLE,
         # predicate delete: the full replay minus the deleted rows
         "cdc_delete_where": """
             WITH ch AS (

@@ -8,3 +8,4 @@ from etl_framework_spark.cdc.apply import (  # noqa: F401
     resolve_lww,
     resolve_lww_bucketed,
 )
+from etl_framework_spark.cdc.relay import sync_once, sync_table  # noqa: F401
