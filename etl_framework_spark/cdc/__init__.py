@@ -8,4 +8,8 @@ from etl_framework_spark.cdc.apply import (  # noqa: F401
     resolve_lww,
     resolve_lww_bucketed,
 )
-from etl_framework_spark.cdc.relay import sync_once, sync_table  # noqa: F401
+from etl_framework_spark.cdc.relay import (  # noqa: F401
+    RelayGapError,
+    sync_once,
+    sync_table,
+)

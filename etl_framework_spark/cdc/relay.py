@@ -23,26 +23,45 @@ Design (all set-based, no driver-side row loops):
   data, so a crash between write and commit re-applies cleanly and a
   re-run of an already-committed sync is a no-op. The ledger entry IS
   the replication watermark — ``last_epoch(stream_id)`` is the last
-  source version fully applied, so resume needs no side files.
+  source version fully applied, so resume needs no side files. The
+  default ``stream_id`` embeds the source's path, so several sources
+  relaying into one target keep independent watermarks (and several
+  targets tailing one source already do, each in its own ledger).
+- **Concurrent runners are safe**: the commit-retry loop re-checks the
+  watermark against the refreshed target before every attempt, so a
+  runner holding a stale feed no-ops instead of re-applying old images
+  over a faster runner's newer sync (same re-entry rule as
+  ``apply_changes``).
 - **Schema evolution propagates**: the feed carries the source's
   (possibly evolved) columns; the target's ``merge`` folds them in via
   ``merge_schemas`` (add + widen), same as direct ingest.
 - Maintenance commits on the source (compaction, snapshot expiry)
   produce an EMPTY diff — the sync still commits the epoch marker so
   the watermark advances past them and later syncs don't re-diff.
+- **Retention windows**: if the source has expired the watermark
+  version (``expire_snapshots``), the diff is unrecoverable. A FRESH
+  (empty, never-synced) target falls back to a full-state bootstrap —
+  the current source rows applied as I rows through the same merge —
+  and proceeds incrementally from there; a target that is lagging
+  mid-history raises :class:`RelayGapError` instead of guessing at
+  deletes it can no longer see.
 
-Scale shape: one bucket-pruned full-outer join on the source (the feed)
-plus one copy-on-write merge on the target touching only the buckets
-the fed keys hash to — a steady-state sync costs O(touched-bucket
-data), not O(table); bucket count sets the touched fraction. Measured
-(``scripts/bench_relay.py`` → ``BENCH/relay.json``): growing the table
-14.6× grows the bootstrap sync 4.0× but the fixed-size delta sync only
-1.68× (flat across the last 4× step). Reference parity: the reference has no table-to-table sync;
-this mirrors Delta/Iceberg CDF-consumer patterns (``table_changes`` →
+Scale shape: one bucket-pruned full-outer join on the source (the
+feed, persisted so the touched-bucket probe and the merge share one
+computation) plus one copy-on-write merge on the target touching only
+the buckets the fed keys hash to — a steady-state sync costs
+O(touched-bucket data), not O(table); bucket count sets the touched
+fraction. Measured (``scripts/bench_relay.py`` → ``BENCH/relay.json``):
+growing the table 14.6× grows the bootstrap sync 4.0× but the
+fixed-size delta sync only 1.68× (flat across the last 4× step).
+Reference parity: the reference has no table-to-table sync; this
+mirrors Delta/Iceberg CDF-consumer patterns (``table_changes`` →
 ``MERGE INTO``) as one operator.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,7 +69,23 @@ from pyspark.sql import types as T
 
 from etl_framework_spark.lakehouse.table import commit_with_retry
 
-__all__ = ["sync_once", "sync_table"]
+__all__ = ["RelayGapError", "sync_once", "sync_table"]
+
+
+class RelayGapError(RuntimeError):
+    """The source expired the snapshot the replica's watermark points
+    at, and the replica is not fresh — the missed deletes are
+    unrecoverable from the feed. Re-bootstrap into a new target (or
+    raise the source's ``expire_snapshots`` retention above the relay
+    interval)."""
+
+
+def _default_stream_id(src) -> str:
+    """Watermark namespace: embeds the source identity so two sources
+    relaying into one target cannot silently share (and corrupt) one
+    watermark."""
+    path = getattr(src, "path", None)
+    return f"relay:{os.path.abspath(path)}" if path else "relay"
 
 
 def _resolve_replace(keys: list[str]):
@@ -68,19 +103,56 @@ def _resolve_replace(keys: list[str]):
     return resolve
 
 
+def _apply_feed(t, feed: DataFrame, v_from: int, v_to: int, stream_id: str):
+    """One read-modify-commit attempt (the ``commit_with_retry`` op).
+
+    Re-checks the watermark against the REFRESHED target first: a
+    concurrent runner for the same stream may have committed a newer
+    sync while this one held its (now stale) feed — re-applying the
+    stale images would regress the replica while the watermark stays
+    advanced, permanently losing the difference. Same per-attempt
+    re-entry rule as ``apply_changes``."""
+    if t.last_epoch(stream_id) >= v_to:
+        return None
+    stored = T.StructType(
+        [f for f in feed.schema.fields if f.name != "_change_type"]
+    )
+    return t.merge(
+        feed,
+        _resolve_replace(list(t.key_columns)),
+        evolve_schema=stored,
+        summary={
+            "operation": "relay",
+            "src_v_from": v_from,
+            "src_v_to": v_to,
+        },
+        epoch=(stream_id, v_to),
+    )
+
+
+def _bootstrap_feed(src) -> DataFrame:
+    """Full-state feed for a fresh replica: every live source row as an
+    I row (no deletes can exist for an empty target)."""
+    cur = src.current()
+    if "_deleted" in cur.columns:
+        cur = cur.drop("_deleted")
+    return cur.withColumn("_change_type", F.lit("I"))
+
+
 def sync_once(
     src,
     dst,
-    stream_id: str = "relay",
+    stream_id: str | None = None,
     max_retries: int = 5,
 ) -> int | None:
     """Replicate every source commit since the last sync into ``dst``.
 
     Returns the target's new version, or ``None`` if the target is
     already caught up (idempotent — safe to call in a loop or after a
-    crash). ``stream_id`` namespaces the watermark so several targets
-    can tail one source independently.
+    crash). ``stream_id`` namespaces the watermark; the default embeds
+    the source path so distinct sources never share one.
     """
+    stream_id = stream_id or _default_stream_id(src)
     src = src.refresh()
     v_to = src.version
     last = dst.refresh().last_epoch(stream_id)
@@ -88,31 +160,38 @@ def sync_once(
     if v_to <= v_from:
         return None
 
-    feed = src.changes_between(v_from, v_to)
-    stored = T.StructType(
-        [f for f in feed.schema.fields if f.name != "_change_type"]
-    )
+    try:
+        feed = src.changes_between(v_from, v_to)
+    except (FileNotFoundError, ValueError) as exc:
+        # the source's retention window no longer covers v_from
+        if last < 0 and not dst.current().take(1):
+            feed = _bootstrap_feed(src)  # fresh replica: full-state load
+        else:
+            raise RelayGapError(
+                f"source expired version {v_from} (watermark of stream "
+                f"{stream_id!r}); replica at {dst.path!r} is mid-history "
+                "and the missed deletes are unrecoverable — re-bootstrap "
+                "a fresh target or raise the source retention"
+            ) from exc
 
-    def op(t):
-        return t.merge(
-            feed,
-            _resolve_replace(list(t.key_columns)),
-            evolve_schema=stored,
-            summary={
-                "operation": "relay",
-                "src_v_from": v_from,
-                "src_v_to": v_to,
-            },
-            epoch=(stream_id, v_to),
+    feed = feed.persist()
+    try:
+        # force materialization once; the touched-bucket probe inside
+        # merge and both resolver branches then reuse it
+        feed.count()
+        return commit_with_retry(
+            dst,
+            lambda t: _apply_feed(t, feed, v_from, v_to, stream_id),
+            max_retries=max_retries,
         )
-
-    return commit_with_retry(dst, op, max_retries=max_retries)
+    finally:
+        feed.unpersist()
 
 
 def sync_table(
     src,
     dst,
-    stream_id: str = "relay",
+    stream_id: str | None = None,
     max_retries: int = 5,
     max_rounds: int = 100,
 ) -> int | None:

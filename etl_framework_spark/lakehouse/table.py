@@ -1017,7 +1017,15 @@ class LakeTable:
             return snap.version
         read_view = snap.buckets_for(touched)
         read_view = {str(b): list(read_view.get(str(b), [])) for b in touched}
-        kept = self.read(buckets=touched).where(~condition)
+        # SQL DELETE semantics: remove rows where the condition is TRUE;
+        # rows where it evaluates NULL are KEPT. A bare ~condition would
+        # silently drop them — delete tombstones carry NULL payload
+        # columns, so e.g. delete_where(role == 'x') must not GC every
+        # tombstone that shares a bucket with a match (losing the stored
+        # (ts, _lsn) that no-ops late out-of-order events for that key).
+        kept = self.read(buckets=touched).where(
+            ~F.coalesce(condition, F.lit(False))
+        )
         new_buckets = self._write_data(kept, sid)
         dropped = set(read_view) - set(new_buckets)
         return self._commit(

@@ -74,11 +74,10 @@ def one_rung(spark, stored, seed_events: int, delta_events: int) -> dict:
     t0 = time.perf_counter()
     sync_once(src, dst)
     delta_s = time.perf_counter() - t0
-    diverged = (
-        src.current().select("conv_id", "turn_idx", "text", "_lsn")
-        .exceptAll(dst.current().select("conv_id", "turn_idx", "text", "_lsn"))
-        .count()
-    )
+    s = src.current().select("conv_id", "turn_idx", "text", "_lsn")
+    d = dst.current().select("conv_id", "turn_idx", "text", "_lsn")
+    # symmetric: missing rows AND stale/extra replica rows both count
+    diverged = s.exceptAll(d).count() + d.exceptAll(s).count()
     assert diverged == 0, f"replica diverged: {diverged} rows"
     assert feed_rows > 0, "delta produced no state change — rung is vacuous"
 

@@ -150,9 +150,99 @@ def test_relay_skips_empty_maintenance_diffs(spark, tmp_path):
     src.compact(min_files=1)  # physical-only commit
     v = sync_once(src, dst)
     assert v is not None  # watermark advanced
-    assert dst.last_epoch("relay") == src.version
+    from etl_framework_spark.cdc.relay import _default_stream_id
+
+    assert dst.last_epoch(_default_stream_id(src)) == src.version
     assert _state(dst) == _state(src)
     assert sync_once(src, dst) is None
+
+
+def test_stale_runner_attempt_cannot_regress_replica(spark, tmp_path):
+    """Concurrent-runner race (self-review finding): a runner whose
+    commit attempt re-runs after a faster runner already synced a NEWER
+    source version must no-op — re-applying its stale feed would revert
+    the replica while the watermark stays advanced, permanently losing
+    the difference. `_apply_feed` is the per-attempt op
+    `commit_with_retry` re-executes, so driving it directly models the
+    retry re-entry deterministically."""
+    from etl_framework_spark.cdc.relay import _apply_feed, _default_stream_id
+
+    src = _mk(LakeTable, spark, str(tmp_path / "src"))
+    dst = _mk(DirTable, spark, str(tmp_path / "dst"))
+    apply_changes(src, gen_changes(spark, 1000, seed=20), stream_id="s", epoch_id=0)
+    v1 = src.version
+    stale_feed = None  # captured below, BEFORE the second commit
+
+    stale_feed = src.changes_between(0, v1)
+    apply_changes(src, gen_changes(spark, 1000, seed=21), stream_id="s", epoch_id=1)
+    sync_once(src, dst)  # the fast runner: replica now at src.version
+    after_fast = _state(dst)
+    sid = _default_stream_id(src)
+
+    # the slow runner's retry attempt with its stale v0->v1 feed
+    assert _apply_feed(dst.refresh(), stale_feed, 0, v1, sid) is None
+    assert _state(dst) == after_fast == _state(src)
+
+
+def test_fresh_replica_bootstraps_past_expired_retention(spark, tmp_path):
+    """A new replica of a source whose early snapshots were expired
+    cannot diff from version 0 — it must fall back to a full-state
+    bootstrap, then continue incrementally."""
+    src = _mk(LakeTable, spark, str(tmp_path / "src"))
+    for e in range(3):
+        apply_changes(
+            src, gen_changes(spark, 800, seed=30 + e), stream_id="s", epoch_id=e
+        )
+    src.expire_snapshots(keep_last=1, grace_seconds=0)
+
+    dst = _mk(DirTable, spark, str(tmp_path / "dst"))
+    assert sync_once(src, dst) is not None  # bootstrap, not a crash
+    assert _state(dst) == _state(src)
+    # incremental from here on
+    apply_changes(src, gen_changes(spark, 800, seed=33), stream_id="s", epoch_id=3)
+    assert sync_once(src, dst) is not None
+    assert _state(dst) == _state(src)
+
+
+def test_lagging_replica_past_retention_raises_gap_error(spark, tmp_path):
+    """A NON-fresh replica whose watermark version was expired must
+    fail loudly — the deletes between the watermark and the retention
+    horizon are unrecoverable, and silently bootstrapping would leave
+    ghost rows for keys the source deleted."""
+    from etl_framework_spark.cdc import RelayGapError
+
+    src = _mk(LakeTable, spark, str(tmp_path / "src"))
+    dst = _mk(LakeTable, spark, str(tmp_path / "dst"))
+    apply_changes(src, gen_changes(spark, 800, seed=40), stream_id="s", epoch_id=0)
+    sync_once(src, dst)  # watermark -> v1
+    for e in range(1, 4):
+        apply_changes(
+            src, gen_changes(spark, 800, seed=40 + e), stream_id="s", epoch_id=e
+        )
+    src.expire_snapshots(keep_last=1, grace_seconds=0)  # v1 is gone
+    with pytest.raises(RelayGapError):
+        sync_once(src, dst)
+
+
+def test_two_sources_one_target_keep_independent_watermarks(spark, tmp_path):
+    """Default stream ids embed the source path, so two sources
+    relaying into one target cannot silently share a watermark (which
+    would skip or gap whichever source syncs second)."""
+    from etl_framework_spark.cdc.relay import _default_stream_id
+
+    src_a = _mk(LakeTable, spark, str(tmp_path / "a"))
+    src_b = _mk(LakeTable, spark, str(tmp_path / "b"))
+    dst = _mk(LakeTable, spark, str(tmp_path / "dst"))
+    apply_changes(src_a, gen_changes(spark, 600, seed=50), stream_id="s", epoch_id=0)
+    apply_changes(src_b, gen_changes(spark, 600, seed=51), stream_id="s", epoch_id=0)
+
+    assert sync_once(src_a, dst) is not None
+    # B must replicate too — with a shared watermark its version (<= A's)
+    # would read as already-synced and silently no-op
+    assert sync_once(src_b, dst) is not None
+    assert dst.last_epoch(_default_stream_id(src_a)) == src_a.version
+    assert dst.last_epoch(_default_stream_id(src_b)) == src_b.version
+    assert _default_stream_id(src_a) != _default_stream_id(src_b)
 
 
 def test_sync_table_catches_up_over_multiple_commits(spark, tmp_path, pair):

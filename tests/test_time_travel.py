@@ -171,6 +171,34 @@ def test_delete_where_rewrites_only_touched_buckets(spark, table):
     assert table.snapshot.summary["touched_buckets"] == [int(target_bucket)]
 
 
+def test_delete_where_keeps_tombstones_with_null_predicate_columns(spark, table):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL
+    are kept. Delete tombstones carry NULL payload columns, so a
+    payload predicate must not GC a tombstone that shares a bucket with
+    a real match — losing its stored (ts, _lsn) would let a late,
+    OLDER event resurrect the deleted key."""
+    apply_changes(
+        table,
+        _changes(spark, [("I", 1, 1, "c1", 0, "a"), ("I", 2, 1, "c1", 1, "kill")]),
+        epoch_id=0,
+    )
+    apply_changes(table, _changes(spark, [("D", 3, 3, "c1", 0, None)]), epoch_id=1)
+    table.refresh()
+    key0 = (F.col("conv_id") == "c1") & (F.col("turn_idx") == 0)
+    phys = table.read().where(key0).collect()
+    assert len(phys) == 1 and phys[0]["_deleted"]  # tombstone, NULL text
+
+    table.delete_where(F.col("text") == "kill")  # same bucket as the tombstone
+    table.refresh()
+    assert table.current().where(F.col("text") == "kill").count() == 0
+    phys = table.read().where(key0).collect()
+    assert len(phys) == 1 and phys[0]["_deleted"], "tombstone was GC'd as collateral"
+
+    # the surviving tombstone still no-ops a late out-of-order older event
+    apply_changes(table, _changes(spark, [("U", 2, 2, "c1", 0, "zombie")]), epoch_id=2)
+    assert table.refresh().current().where(key0).count() == 0
+
+
 def test_delete_where_no_matches_is_noop(spark, table):
     apply_changes(table, _changes(spark, [("I", 1, 1, "c1", 0, "x")]), epoch_id=0)
     v = table.refresh().version
