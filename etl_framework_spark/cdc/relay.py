@@ -52,8 +52,8 @@ computation) plus one copy-on-write merge on the target touching only
 the buckets the fed keys hash to — a steady-state sync costs
 O(touched-bucket data), not O(table); bucket count sets the touched
 fraction. Measured (``scripts/bench_relay.py`` → ``BENCH/relay.json``):
-growing the table 14.6× grows the bootstrap sync 4.0× but the
-fixed-size delta sync only 1.68× (flat across the last 4× step).
+growing the table 14.6× grows the bootstrap sync 2-4× but the
+fixed-size delta sync only 1.46× (flat across the last 4× step).
 Reference parity: the reference has no table-to-table sync; this
 mirrors Delta/Iceberg CDF-consumer patterns (``table_changes`` →
 ``MERGE INTO``) as one operator.
