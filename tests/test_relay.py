@@ -256,3 +256,52 @@ def test_sync_table_catches_up_over_multiple_commits(spark, tmp_path, pair):
     assert sync_table(src, dst) is not None
     assert _state(dst) == _state(src)
     assert sync_table(src, dst) is None
+
+
+@pytest.mark.slow
+def test_relay_soak_tails_a_live_source(spark, tmp_path):
+    """Live-concurrency soak: a writer thread keeps committing change
+    batches to the source while the relay tails it from this thread.
+    Every sync races real source commits; at the end one final
+    catch-up must land the replica exactly on the source state.
+    gen_changes stamps ts from the batch-local index, so each batch's
+    event time is lifted past the previous batches' to model a real
+    advancing binlog (otherwise later batches lose LWW and the soak
+    degenerates to no-ops)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    src = _mk(LakeTable, spark, str(tmp_path / "src"))
+    dst = _mk(DirTable, spark, str(tmp_path / "dst"), n_buckets=4)
+    n_batches, per = 6, 1500
+    done = threading.Event()
+    errors: list[BaseException] = []
+
+    def writer():
+        try:
+            for e in range(n_batches):
+                batch = gen_changes(
+                    spark, per, seed=60 + e, lsn_start=1 + e * per
+                ).withColumn(
+                    "ts",
+                    F.timestamp_seconds(F.unix_timestamp("ts") + F.lit(e * per)),
+                )
+                apply_changes(src, batch, stream_id="s", epoch_id=e)
+        except BaseException as exc:  # surfaced to the main thread
+            errors.append(exc)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    syncs = 0
+    while not done.is_set():
+        if sync_once(src, dst) is not None:
+            syncs += 1
+    t.join(timeout=120)
+    assert not errors, errors
+    assert sync_table(src, dst) or True  # final catch-up
+    assert src.refresh().version == n_batches
+    assert _state(dst) == _state(src)
+    assert syncs >= 1  # the relay actually raced live commits
