@@ -67,7 +67,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_framework_spark.lakehouse.table import commit_with_retry
+from etl_framework_spark.lakehouse.table import (
+    VersionExpiredError,
+    commit_with_retry,
+)
 
 __all__ = ["RelayGapError", "sync_once", "sync_table"]
 
@@ -162,8 +165,12 @@ def sync_once(
 
     try:
         feed = src.changes_between(v_from, v_to)
-    except (FileNotFoundError, ValueError) as exc:
-        # the source's retention window no longer covers v_from
+    except VersionExpiredError as exc:
+        # The source's retention window no longer covers v_from. ONLY
+        # the dedicated expiry signal routes here — a corrupted or
+        # newer-format snapshot raises plain ValueError and propagates,
+        # instead of silently re-bootstrapping a replica over it
+        # (round-4 ADVICE).
         if last < 0 and not dst.current().take(1):
             feed = _bootstrap_feed(src)  # fresh replica: full-state load
         else:

@@ -14,5 +14,6 @@ from etl_framework_spark.lakehouse.table import (  # noqa: F401
     CommitConflict,
     LakeTable,
     SchemaEvolutionError,
+    VersionExpiredError,
     commit_with_retry,
 )

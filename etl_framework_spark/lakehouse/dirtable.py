@@ -64,6 +64,7 @@ from pyspark.sql import types as T
 from etl_framework_spark.lakehouse.table import (
     CommitConflict,
     SchemaEvolutionError,
+    VersionExpiredError,
     align_to_schema,
     bucket_expr,
     merge_schemas,
@@ -282,7 +283,7 @@ class DirTable:
     def _state_at(self, version: int) -> _State:
         base = self._ckpt
         if base is not None and version < base.version:
-            raise ValueError(
+            raise VersionExpiredError(
                 f"version {version} predates the oldest checkpoint "
                 f"({base.version}); expired from the time-travel window"
             )
@@ -470,12 +471,30 @@ class DirTable:
             final = self._log_path(commit["version"])
             try:
                 os.link(tmp, final)
-                os.unlink(tmp)
-                self.refresh()
-                return int(commit["version"])
             except FileExistsError:
                 os.unlink(tmp)
                 continue
+            os.unlink(tmp)
+            # TOCTOU guard (round-4 ADVICE): between our refresh() and the
+            # link, a concurrent process may have committed past this
+            # version AND expired the log (deleting this version's file
+            # and publishing a newer checkpoint) — the link then succeeds
+            # on an already-expired version NUMBER, publishing a commit
+            # below the checkpoint that no reader ever folds (readers
+            # re-seed from the newest checkpoint). expire_snapshots
+            # writes its checkpoint BEFORE deleting logs, so if our link
+            # only succeeded because the file was expired, that newer
+            # checkpoint is already on disk: verify and retry.
+            newest_ck = self._load_checkpoint()
+            if newest_ck is not None and newest_ck.version >= int(commit["version"]):
+                try:
+                    os.unlink(final)
+                except FileNotFoundError:
+                    pass
+                self._ckpt, self._commits = None, []
+                continue
+            self.refresh()
+            return int(commit["version"])
         raise RuntimeError(f"commit contention: gave up after {max_retries} retries")
 
     def append(

@@ -74,6 +74,16 @@ class SchemaEvolutionError(ValueError):
     """Incoming batch schema cannot be merged into the table schema."""
 
 
+class VersionExpiredError(ValueError):
+    """The requested version's metadata was garbage-collected
+    (``expire_snapshots`` shrank the time-travel window past it).
+
+    Distinct from a corrupted/newer-format snapshot (plain
+    ``ValueError``) so consumers like the CDC relay can fall back to a
+    bootstrap ONLY on genuine retention expiry instead of silently
+    re-bootstrapping over a corruption (round-4 ADVICE)."""
+
+
 class CommitConflict(RuntimeError):
     """A concurrent writer rewrote a bucket this commit also rewrote.
 
@@ -502,10 +512,21 @@ class LakeTable:
 
     def snapshot_at(self, version: int) -> Snapshot:
         """Load a historical snapshot (time travel). Shard files are
-        immutable, so old versions' shard references stay readable."""
+        immutable, so old versions' shard references stay readable.
+        Raises :class:`VersionExpiredError` when the version predates
+        the retention window (``expire_snapshots`` removed its file);
+        a version beyond the current head raises plain ``ValueError``."""
         p = os.path.join(self.path, META_DIR, "v%012d.json" % version)
-        with open(p) as f:
-            s = json.load(f)
+        try:
+            with open(p) as f:
+                s = json.load(f)
+        except FileNotFoundError:
+            if version <= self._latest_version(os.path.join(self.path, META_DIR)):
+                raise VersionExpiredError(
+                    f"version {version} of {self.path} was expired from "
+                    "the time-travel window (expire_snapshots)"
+                ) from None
+            raise ValueError(f"unknown version {version} at {self.path}") from None
         return self._snapshot_from_json(s)
 
     # -------------------------------------------------------------- reads

@@ -200,17 +200,47 @@ def build_create_table_sql(
     return f"CREATE TABLE IF NOT EXISTS {q(target)} ({cols}{pk_clause})"
 
 
-#: substrings that identify a "relation/table does not exist" error
-#: across the supported dialects' drivers (postgres, mysql, sqlite,
-#: duckdb, sqlserver, h2/oracle-style "not found")
+#: SQLState codes meaning "base table or view not found" — the
+#: standardized channel, preferred over message text when the driver
+#: provides one: 42S02 (ODBC/MySQL/SQLServer), 42P01 (postgres),
+#: 42102 (h2). Deliberately excludes generic syntax-class states like
+#: 42000 (oracle folds ORA-00942 into it alongside real syntax errors).
+_MISSING_TABLE_SQLSTATES = {"42S02", "42P01", "42102"}
+
+#: message substrings that BY THEMSELVES identify a missing table
 _MISSING_TABLE_PATTERNS = (
-    "does not exist",
-    "doesn't exist",
     "no such table",
-    "not found",
     "invalid object name",
     "unknown table",
 )
+#: generic absence verbs — only count when a table-ish noun co-occurs,
+#: so 'database "x" does not exist' or "driver class not found" do NOT
+#: classify as a missing table (round-4 ADVICE: the bare substrings
+#: routed non-catalog failures into the replace-with-data branch)
+_MISSING_VERBS = ("does not exist", "doesn't exist", "not found")
+_MISSING_NOUNS = ("table", "relation", "view")
+
+
+def _sqlstate_of(ex: Exception) -> str | None:
+    """SQLState of a (possibly py4j-wrapped) JDBC exception, walking the
+    cause chain; None when the driver/path doesn't surface one."""
+    je = getattr(ex, "java_exception", None)
+    seen = 0
+    while je is not None and seen < 8:
+        get = getattr(je, "getSQLState", None)
+        if get is not None:
+            try:
+                state = get()
+            except Exception:
+                state = None
+            if state:
+                return str(state)
+        try:
+            je = je.getCause()
+        except Exception:
+            return None
+        seen += 1
+    return None
 
 
 def _is_missing_table_error(ex: Exception) -> bool:
@@ -218,9 +248,17 @@ def _is_missing_table_error(ex: Exception) -> bool:
     anything ambiguous (connection drop, lock timeout, permission) is
     False so callers fail loudly instead of treating a live target as
     absent (which would route an UPDATE load to a destructive
-    overwrite)."""
+    overwrite). SQLState is authoritative when present; message
+    substrings are the fallback for drivers without one."""
+    state = _sqlstate_of(ex)
+    if state is not None:
+        return state in _MISSING_TABLE_SQLSTATES
     msg = str(ex).lower()
-    return any(pat in msg for pat in _MISSING_TABLE_PATTERNS)
+    if any(pat in msg for pat in _MISSING_TABLE_PATTERNS):
+        return True
+    return any(v in msg for v in _MISSING_VERBS) and any(
+        n in msg for n in _MISSING_NOUNS
+    )
 
 
 def _generic_update(
@@ -430,6 +468,20 @@ class JdbcLoader:
         try:
             self._execute(stmts)
         finally:
-            # always reap the stage, even when the merge failed
-            self._execute([f"DROP TABLE IF EXISTS {_q(self.dialect, stage)}"])
+            # Always reap the stage, even when the merge failed — but a
+            # cleanup failure (e.g. the same dead connection that failed
+            # the merge) must not REPLACE the original error (round-4
+            # ADVICE: the finally-block's exception masked the merge
+            # failure). With no error propagating, a failed DROP still
+            # raises: the load leaked a stage table, loud beats silent.
+            import sys as _sys
+
+            propagating = _sys.exc_info()[0] is not None
+            try:
+                self._execute(
+                    [f"DROP TABLE IF EXISTS {_q(self.dialect, stage)}"]
+                )
+            except Exception:
+                if not propagating:
+                    raise
         return target

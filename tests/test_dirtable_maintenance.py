@@ -110,3 +110,49 @@ def test_expire_keeps_newer_checkpoint(spark, tmp_path):
     c = DirTable(spark, path)
     assert c.version == 14
     assert c.current().count() == 14
+
+
+def test_commit_cannot_publish_below_a_checkpoint(spark, tmp_path):
+    """TOCTOU window (round-4 ADVICE medium): between a writer's
+    refresh() and its os.link, another process commits several versions
+    AND expires the log (checkpoint published, old logs deleted). The
+    stale writer's link of an already-expired version NUMBER then
+    succeeds — publishing a commit below the newest checkpoint that no
+    reader ever folds. The post-link guard must detect the newer
+    checkpoint, retract the bogus file, and retry above it."""
+    import types as _types
+
+    path = str(tmp_path / "t")
+    a = _make(spark, path, 3)  # a at v3
+    assert a.version == 3
+
+    fired = {"done": False}
+    orig_refresh = DirTable.refresh
+
+    def hostile_refresh(self):
+        out = orig_refresh(self)
+        if not fired["done"]:
+            # fire ONCE, right after the commit loop's refresh: another
+            # process advances the log past a's next version and expires
+            # everything, so a's os.link target number is already burned.
+            fired["done"] = True
+            b = DirTable(spark, path)
+            for i in range(5):
+                b.append(_df(spark, [(200 + i, f"b{i}")]))  # v4..v8
+            # nonzero grace: log files expire regardless (that's the
+            # TOCTOU trigger) while a's just-written uncommitted data
+            # file survives the orphan GC, as in any sane deployment
+            b.expire_snapshots(keep_last=1, grace_seconds=3600)  # ckpt v8
+        return out
+
+    a.refresh = _types.MethodType(hostile_refresh, a)
+    a.append(_df(spark, [(999, "stale-writer-row")]))
+
+    # The write must land ABOVE the checkpoint and be visible to a
+    # fresh reader (pre-fix: it published v4 under ckpt-8 and was lost).
+    fresh = DirTable(spark, path)
+    got = {r["id"] for r in fresh.current().collect()}
+    assert 999 in got
+    assert fresh.version >= 9
+    # and the bogus below-checkpoint log file was retracted
+    assert not os.path.isfile(os.path.join(path, "_log", "v%012d.json" % 4))

@@ -330,3 +330,83 @@ def test_create_table_sql_is_race_safe():
     con.execute(sql)
     con.execute(sql)  # loser of the race: must not raise
     assert con.execute("SELECT COUNT(*) FROM tgt").fetchone()[0] == 0
+
+
+def test_missing_table_classifier_prefers_sqlstate():
+    """SQLState, when the driver surfaces one, is authoritative over
+    message text (round-4 ADVICE): 42P01/42S02/42102 classify as
+    missing-table even with an odd message, and a NON-catalog SQLState
+    wins over a message that pattern-matches "does not exist"."""
+    from etl_framework_spark.sinks.jdbc import _is_missing_table_error
+
+    class FakeJavaEx:
+        def __init__(self, state):
+            self._state = state
+
+        def getSQLState(self):
+            return self._state
+
+        def getCause(self):
+            return None
+
+    class FakeWrapped(Exception):
+        def __init__(self, msg, state):
+            super().__init__(msg)
+            self.java_exception = FakeJavaEx(state)
+
+    assert _is_missing_table_error(FakeWrapped("boom", "42P01"))
+    assert _is_missing_table_error(FakeWrapped("boom", "42S02"))
+    assert _is_missing_table_error(FakeWrapped("boom", "42102"))
+    # authoritative negative: connection failure state beats message text
+    assert not _is_missing_table_error(
+        FakeWrapped('relation "tgt" does not exist', "08006")
+    )
+
+
+def test_missing_table_classifier_rejects_non_table_absence():
+    """Generic absence verbs without a table-ish noun must NOT classify
+    as missing-table (round-4 ADVICE): a missing DATABASE or a missing
+    DRIVER CLASS otherwise routed UPDATE loads into replace-with-data."""
+    from etl_framework_spark.sinks.jdbc import _is_missing_table_error
+
+    not_missing = [
+        'database "x" does not exist',
+        "FATAL: database 'analytics' does not exist",
+        "java.lang.ClassNotFoundException: org.postgresql.Driver not found",
+        "role \"etl\" does not exist",
+    ]
+    assert not any(_is_missing_table_error(Exception(m)) for m in not_missing)
+
+
+def test_cleanup_failure_does_not_mask_merge_error(batch):
+    """When the merge fails AND the stage DROP also fails (same dead
+    connection), the ORIGINAL merge error must propagate, not the
+    cleanup's (round-4 ADVICE: the finally-block replaced it)."""
+    def dead_connection(stmts):
+        for s in stmts:
+            if s.startswith("DROP TABLE IF EXISTS"):
+                raise RuntimeError("connection is closed")
+            raise RuntimeError("merge blew up")
+
+    rec = Recorder()
+    loader = JdbcLoader(
+        "jdbc:postgresql://db:5432/x", executor=dead_connection, writer=rec.writer
+    )
+    with pytest.raises(RuntimeError, match="merge blew up"):
+        loader.load(batch, "tgt", strategy="upsert", key_columns=["id"])
+
+
+def test_cleanup_failure_on_success_path_still_raises(batch):
+    """With the merge SUCCEEDED, a failed stage DROP leaks a table —
+    that must surface loudly instead of being swallowed."""
+    def drop_fails(stmts):
+        for s in stmts:
+            if s.startswith("DROP TABLE IF EXISTS"):
+                raise RuntimeError("drop refused")
+
+    rec = Recorder()
+    loader = JdbcLoader(
+        "jdbc:postgresql://db:5432/x", executor=drop_fails, writer=rec.writer
+    )
+    with pytest.raises(RuntimeError, match="drop refused"):
+        loader.load(batch, "tgt", strategy="upsert", key_columns=["id"])

@@ -305,3 +305,49 @@ def test_relay_soak_tails_a_live_source(spark, tmp_path):
     assert src.refresh().version == n_batches
     assert _state(dst) == _state(src)
     assert syncs >= 1  # the relay actually raced live commits
+
+
+def test_corrupted_source_snapshot_does_not_silently_bootstrap(spark, tmp_path):
+    """A corrupted (or newer-format) source snapshot raises ValueError
+    from ``changes_between`` — the relay must PROPAGATE it, not treat it
+    as retention expiry and quietly full-bootstrap a fresh replica over
+    the corruption (round-4 ADVICE: only the dedicated
+    ``VersionExpiredError`` routes to bootstrap)."""
+    import json
+    import os
+
+    src = _mk(LakeTable, spark, str(tmp_path / "src"))
+    apply_changes(src, gen_changes(spark, 600, seed=70), stream_id="s", epoch_id=0)
+    apply_changes(src, gen_changes(spark, 600, seed=71), stream_id="s", epoch_id=1)
+
+    # corrupt v0 in the way table.py:_snapshot_from_json detects
+    # (neither 'buckets' nor 'shards' — an unsupported format)
+    v0 = os.path.join(src.path, "_meta", "v%012d.json" % 0)
+    with open(v0, "w") as f:
+        json.dump({"version": 0, "schema_id": 0}, f)
+
+    dst = _mk(DirTable, spark, str(tmp_path / "dst"))
+    from etl_framework_spark.lakehouse import VersionExpiredError
+
+    with pytest.raises(ValueError) as exc_info:
+        sync_once(src, dst)
+    assert not isinstance(exc_info.value, VersionExpiredError)
+    # the replica stayed empty — nothing was silently applied
+    assert dst.refresh().current().count() == 0
+
+
+def test_expired_watermark_raises_the_dedicated_exception(spark, tmp_path):
+    """Both formats raise ``VersionExpiredError`` (not a bare
+    ValueError) for a version expired from the time-travel window — the
+    signal the relay's bootstrap fallback keys on."""
+    from etl_framework_spark.lakehouse import VersionExpiredError
+
+    for name, impl in IMPLS.items():
+        t = _mk(impl, spark, str(tmp_path / f"t_{name}"))
+        for e in range(3):
+            apply_changes(
+                t, gen_changes(spark, 400, seed=80 + e), stream_id="s", epoch_id=e
+            )
+        t.expire_snapshots(keep_last=1, grace_seconds=0)
+        with pytest.raises(VersionExpiredError):
+            t.changes_between(0, t.version)
