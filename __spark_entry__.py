@@ -662,6 +662,11 @@ def _final_state(table) -> DataFrame:
 
 
 def q_cdc_apply_batch(spark, sf):  # batch apply_changes -> final table state
+    """Since round 5 this runs the MERGE-ON-READ path
+    (``merge_policy="lww"``): the apply commits per-epoch delta files
+    (no bucket rewrite) and the final-state read folds them — the same
+    oracle must still hold. The copy-on-write path stays covered by
+    ``cdc_stream_apply`` (tables created without a policy)."""
     import shutil
     import tempfile
 
@@ -675,9 +680,11 @@ def q_cdc_apply_batch(spark, sf):  # batch apply_changes -> final table state
     tmp = tempfile.mkdtemp(prefix="entry_cdc_")
     stored = T.StructType(TRANSCRIPT_SCHEMA.fields)
     table = LakeTable.create(
-        spark, f"{tmp}/t", schema=stored, key_columns=KEY_COLUMNS, n_buckets=16
+        spark, f"{tmp}/t", schema=stored, key_columns=KEY_COLUMNS, n_buckets=16,
+        merge_policy="lww",
     )
     apply_changes(table, changes, stream_id="entry", epoch_id=0)
+    assert table.file_stats()["delta_files"] > 0, "expected MoR delta commit"
     fs = _materialize(_final_state(table))  # detach before tmp cleanup
     shutil.rmtree(tmp, ignore_errors=True)
     return fs
@@ -702,7 +709,8 @@ def q_cdc_apply_batch_dir(spark, sf):  # same replay through the 2nd format
     tmp = tempfile.mkdtemp(prefix="entry_cdc_dir_")
     stored = T.StructType(TRANSCRIPT_SCHEMA.fields)
     table = DirTable.create(
-        spark, f"{tmp}/t", schema=stored, key_columns=KEY_COLUMNS, n_buckets=16
+        spark, f"{tmp}/t", schema=stored, key_columns=KEY_COLUMNS, n_buckets=16,
+        merge_policy="lww",  # merge-on-read through the 2nd format too
     )
     apply_changes(table, changes, stream_id="entry", epoch_id=0)
     fs = _materialize(_final_state(table))  # detach before tmp cleanup
@@ -730,7 +738,7 @@ def q_cdc_changes_feed(spark, sf):  # CDC-out: row-level diff between versions
     tmp = tempfile.mkdtemp(prefix="entry_feed_")
     table = LakeTable.create(
         spark, f"{tmp}/t", schema=T.StructType(TRANSCRIPT_SCHEMA.fields),
-        key_columns=KEY_COLUMNS, n_buckets=16,
+        key_columns=KEY_COLUMNS, n_buckets=16, merge_policy="lww",
     )
     apply_changes(table, changes.where(F.col("lsn") <= mid), stream_id="feed", epoch_id=0)
     v1 = table.version
@@ -766,7 +774,7 @@ def q_cdc_time_travel(spark, sf):  # read the table AT a historical version
     tmp = tempfile.mkdtemp(prefix="entry_tt_")
     table = LakeTable.create(
         spark, f"{tmp}/t", schema=T.StructType(TRANSCRIPT_SCHEMA.fields),
-        key_columns=KEY_COLUMNS, n_buckets=16,
+        key_columns=KEY_COLUMNS, n_buckets=16, merge_policy="lww",
     )
     apply_changes(table, changes.where(F.col("lsn") <= mid), stream_id="tt", epoch_id=0)
     v1 = table.version
@@ -801,11 +809,13 @@ def q_cdc_compacted_state(spark, sf):  # maintenance is state-preserving
     tmp = tempfile.mkdtemp(prefix="entry_compact_")
     table = LakeTable.create(
         spark, f"{tmp}/t", schema=T.StructType(TRANSCRIPT_SCHEMA.fields),
-        key_columns=KEY_COLUMNS, n_buckets=16,
+        key_columns=KEY_COLUMNS, n_buckets=16, merge_policy="lww",
     )
     apply_changes(table, changes.where(F.col("lsn") <= mid), stream_id="c", epoch_id=0)
     apply_changes(table, changes.where(F.col("lsn") > mid), stream_id="c", epoch_id=1)
-    table.compact(min_files=1)  # rewrite every bucket, not just fragmented ones
+    assert table.file_stats()["delta_files"] > 0, "expected MoR deltas pre-compact"
+    table.compact(min_files=1)  # collapse MoR deltas + rewrite every bucket
+    assert table.refresh().file_stats()["delta_files"] == 0, "compact must collapse deltas"
     table.refresh().expire_snapshots(keep_last=1, grace_seconds=0)
     fs = _materialize(_final_state(table))
     shutil.rmtree(tmp, ignore_errors=True)
@@ -831,7 +841,7 @@ def q_cdc_delete_where(spark, sf):  # predicate delete -> bucket-pruned rewrite
     tmp = tempfile.mkdtemp(prefix="entry_delw_")
     table = LakeTable.create(
         spark, f"{tmp}/t", schema=T.StructType(TRANSCRIPT_SCHEMA.fields),
-        key_columns=KEY_COLUMNS, n_buckets=16,
+        key_columns=KEY_COLUMNS, n_buckets=16, merge_policy="lww",
     )
     apply_changes(table, changes, stream_id="dw", epoch_id=0)
     table.delete_where(F.col("role") == "purchase")
@@ -862,16 +872,55 @@ def q_cdc_relay_state(spark, sf):  # table->table relay over the change feed
     tmp = tempfile.mkdtemp(prefix="entry_relay_")
     stored = T.StructType(TRANSCRIPT_SCHEMA.fields)
     src = LakeTable.create(
-        spark, f"{tmp}/src", schema=stored, key_columns=KEY_COLUMNS, n_buckets=16
+        spark, f"{tmp}/src", schema=stored, key_columns=KEY_COLUMNS, n_buckets=16,
+        merge_policy="lww",
     )
+    # replica syncs are merge-on-read too: each sync appends one delta
+    # commit folded by commit order (key-replace), so a small delta
+    # never rewrites whole buckets on the target either
     dst = DirTable.create(
-        spark, f"{tmp}/dst", schema=stored, key_columns=KEY_COLUMNS, n_buckets=8
+        spark, f"{tmp}/dst", schema=stored, key_columns=KEY_COLUMNS, n_buckets=8,
+        merge_policy="replace",
     )
     apply_changes(src, changes.where(F.col("lsn") <= mid), stream_id="r", epoch_id=0)
     sync_once(src, dst)  # incremental: first half
     apply_changes(src, changes.where(F.col("lsn") > mid), stream_id="r", epoch_id=1)
     sync_once(src, dst)  # incremental: second half
     fs = _materialize(_final_state(dst))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return fs
+
+
+def q_cdc_rebucket_state(spark, sf):  # bucket-count evolution mid-history
+    """Bucket-count evolution (``rebucket``): replay the first lsn-half
+    into a 16-bucket merge-on-read table, re-key the whole layout to 32
+    buckets (offline maintenance op — version-preconditioned overwrite),
+    then replay the second half against the NEW layout. Epoch ledgers
+    survive the rebucket (the second apply must see stream watermarks),
+    and the final state must equal the plain replay oracle — rebucket is
+    a pure physical re-key."""
+    import shutil
+    import tempfile
+
+    from etl_framework_spark.cdc import apply_changes
+    from etl_framework_spark.lakehouse import LakeTable
+    from etl_framework_spark.schemas import KEY_COLUMNS, TRANSCRIPT_SCHEMA
+
+    from pyspark.sql import types as T
+
+    changes = _events_as_changes(spark, sf)
+    mid = changes.agg(F.max("lsn")).head()[0] // 2
+    tmp = tempfile.mkdtemp(prefix="entry_rebucket_")
+    table = LakeTable.create(
+        spark, f"{tmp}/t", schema=T.StructType(TRANSCRIPT_SCHEMA.fields),
+        key_columns=KEY_COLUMNS, n_buckets=16, merge_policy="lww",
+    )
+    apply_changes(table, changes.where(F.col("lsn") <= mid), stream_id="rb", epoch_id=0)
+    table.refresh().rebucket(32)
+    assert table.n_buckets == 32
+    assert table.last_epoch("rb") == 0, "epoch ledger must survive rebucket"
+    apply_changes(table, changes.where(F.col("lsn") > mid), stream_id="rb", epoch_id=1)
+    fs = _materialize(_final_state(table))
     shutil.rmtree(tmp, ignore_errors=True)
     return fs
 
@@ -1370,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_delete_where": q_cdc_delete_where,
         "cdc_relay_state": q_cdc_relay_state,
+        "cdc_rebucket_state": q_cdc_rebucket_state,
         "cdc_stream_apply": q_cdc_stream_apply,
         "asof_join": q_asof_join,
         "percentiles": q_percentiles,
@@ -1673,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         # compaction + snapshot expiry are pure physical rewrites: the
         # logical state is the unchanged full replay
         "cdc_compacted_state": _CDC_REPLAY_ORACLE,
+        "cdc_rebucket_state": _CDC_REPLAY_ORACLE,
         # the relay replica must carry the same final state as a direct
         # apply of the full log
         "cdc_relay_state": _CDC_REPLAY_ORACLE,

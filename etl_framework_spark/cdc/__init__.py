@@ -9,7 +9,9 @@ from etl_framework_spark.cdc.apply import (  # noqa: F401
     resolve_lww_bucketed,
 )
 from etl_framework_spark.cdc.relay import (  # noqa: F401
+    RelayDaemon,
     RelayGapError,
+    start_relay,
     sync_once,
     sync_table,
 )

@@ -72,7 +72,13 @@ from etl_framework_spark.lakehouse.table import (
     commit_with_retry,
 )
 
-__all__ = ["RelayGapError", "sync_once", "sync_table"]
+__all__ = [
+    "RelayDaemon",
+    "RelayGapError",
+    "start_relay",
+    "sync_once",
+    "sync_table",
+]
 
 
 class RelayGapError(RuntimeError):
@@ -92,16 +98,34 @@ def _default_stream_id(src) -> str:
 
 
 def _resolve_replace(keys: list[str]):
-    """Key-replace resolver: drop every target row for a fed key, then
-    insert the fed after-images (I/U rows). D rows contribute only the
-    key removal. Deterministic — no order-column comparison needed,
-    because the feed already holds exactly one final-state row per key."""
+    """Key-replace resolver (copy-on-write targets): drop every target
+    row for a fed key, then insert the fed after-images (I/U rows).
+    D rows contribute only the key removal. Deterministic — no
+    order-column comparison needed, because the feed already holds
+    exactly one final-state row per key."""
 
     def resolve(target_subset: DataFrame, feed: DataFrame) -> DataFrame:
         upserts = feed.where(F.col("_change_type") != "D").drop("_change_type")
         fed_keys = feed.select(*keys).distinct()
         kept = target_subset.join(fed_keys, on=list(keys), how="left_anti")
         return kept.unionByName(upserts, allowMissingColumns=True)
+
+    return resolve
+
+
+def _resolve_replace_mor():
+    """Key-replace resolver for MERGE-ON-READ targets (tables created
+    with ``merge_policy="replace"``): the merge never reads the target,
+    so a delete must be a self-contained TOMBSTONE row the read-time
+    fold can apply (newest commit wins per key), not a physical drop.
+    I/U rows become live delta rows (``_deleted=false``); D rows keep
+    only the key (their payload/order columns are already NULL in the
+    feed) with ``_deleted=true``."""
+
+    def resolve(_empty_target: DataFrame, feed: DataFrame) -> DataFrame:
+        return feed.withColumn(
+            "_deleted", F.col("_change_type") == F.lit("D")
+        ).drop("_change_type")
 
     return resolve
 
@@ -117,12 +141,21 @@ def _apply_feed(t, feed: DataFrame, v_from: int, v_to: int, stream_id: str):
     re-entry rule as ``apply_changes``."""
     if t.last_epoch(stream_id) >= v_to:
         return None
-    stored = T.StructType(
-        [f for f in feed.schema.fields if f.name != "_change_type"]
-    )
+    # Merge-on-read only with the "replace" fold (newest commit wins):
+    # the feed is a STATE diff, so an event-time ("lww") fold would
+    # mis-order it — D rows after a source-side GC carry NULL order
+    # columns, and a delete_where at the source can legitimately move a
+    # key's state to an OLDER (ts, lsn). Any other policy replicates
+    # copy-on-write.
+    mor = getattr(t, "merge_policy", None) == "replace"
+    stored_fields = [f for f in feed.schema.fields if f.name != "_change_type"]
+    if mor:
+        stored_fields.append(T.StructField("_deleted", T.BooleanType(), True))
+    stored = T.StructType(stored_fields)
     return t.merge(
         feed,
-        _resolve_replace(list(t.key_columns)),
+        _resolve_replace_mor() if mor else _resolve_replace(list(t.key_columns)),
+        mode="mor" if mor else "cow",
         evolve_schema=stored,
         summary={
             "operation": "relay",
@@ -217,3 +250,122 @@ def sync_table(
         f"relay not caught up after {max_rounds} rounds — source is "
         "committing faster than the relay applies"
     )
+
+
+class RelayDaemon:
+    """Handle for a continuous relay started by :func:`start_relay`.
+
+    The daemon thread drives ``sync_once`` on a processing-time cadence
+    (the relay analog of ``start_ingest``'s processingTime trigger) and
+    optionally compacts the target when its per-bucket file count
+    crosses a threshold — the stats-driven trigger merge-on-read
+    replicas need, since each sync appends one delta commit.
+
+    Exactly-once and crash-resume need NO daemon state: the watermark
+    lives in the target's epoch ledger, so killing a daemon and starting
+    a new one resumes exactly where the last committed sync ended.
+    """
+
+    def __init__(self, thread, stop_event, state: dict):
+        self._thread = thread
+        self._stop = stop_event
+        self._state = state
+
+    @property
+    def error(self) -> BaseException | None:
+        return self._state.get("error")
+
+    @property
+    def last_target_version(self) -> int | None:
+        """Target version of the newest committed sync (None = none yet)."""
+        return self._state.get("last_version")
+
+    @property
+    def synced_rounds(self) -> int:
+        return self._state.get("rounds", 0)
+
+    def running(self) -> bool:
+        return self._thread.is_alive()
+
+    def wait_caught_up(self, src, dst, timeout_s: float = 60.0) -> None:
+        """Block until the replica's watermark reaches the source's
+        CURRENT version (re-read each poll, so a source that keeps
+        committing just extends the target). Raises the daemon's error
+        if it died, or TimeoutError."""
+        import time
+
+        stream_id = self._state["stream_id"]
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if self.error is not None:
+                raise self.error
+            if dst.refresh().last_epoch(stream_id) >= src.refresh().version:
+                return
+            time.sleep(0.05)
+        raise TimeoutError(f"relay not caught up within {timeout_s}s")
+
+    def stop(self, timeout_s: float = 30.0) -> None:
+        """Signal the loop to exit and join the thread. The in-flight
+        sync (if any) finishes its atomic commit or not at all."""
+        self._stop.set()
+        self._thread.join(timeout=timeout_s)
+        if self._thread.is_alive():  # pragma: no cover - hung spark job
+            raise TimeoutError("relay daemon did not stop in time")
+
+
+def start_relay(
+    src,
+    dst,
+    stream_id: str | None = None,
+    poll_interval_s: float = 0.5,
+    max_retries: int = 5,
+    maintenance_max_files: int = 0,
+    on_sync=None,
+) -> RelayDaemon:
+    """Continuously tail ``src`` into ``dst`` until stopped.
+
+    Each round is one ``sync_once`` (idempotent, watermarked); an idle
+    round (source unchanged) sleeps ``poll_interval_s``. With
+    ``maintenance_max_files=M`` the loop consults ``dst.file_stats()``
+    after each committed sync and compacts exactly the buckets holding
+    >= M files (``keep_fresh`` conflict policy — safe next to the
+    relay's own next commit and any other writer). ``on_sync(version)``
+    is a test hook called after each committed sync.
+
+    The caller keeps ownership of ``src``/``dst`` handles it passes —
+    the daemon refreshes them, so don't mutate them concurrently from
+    other threads; construct separate handles for concurrent use
+    (object-level methods are not thread-safe; the FORMATS are, via
+    optimistic commits).
+    """
+    import threading
+    import time
+
+    stream_id = stream_id or _default_stream_id(src)
+    stop = threading.Event()
+    state: dict = {"rounds": 0, "stream_id": stream_id}
+
+    def loop():
+        try:
+            while not stop.is_set():
+                v = sync_once(
+                    src, dst, stream_id=stream_id, max_retries=max_retries
+                )
+                if v is None:
+                    # caught up — idle until the next poll tick
+                    stop.wait(poll_interval_s)
+                    continue
+                state["last_version"] = v
+                state["rounds"] += 1
+                if maintenance_max_files > 0:
+                    st = dst.refresh().file_stats()
+                    if st["max_files_per_bucket"] >= maintenance_max_files:
+                        dst.compact(min_files=maintenance_max_files)
+                if on_sync is not None:
+                    on_sync(v)
+        except BaseException as e:  # surfaced via .error / wait_caught_up
+            state["error"] = e
+
+    t = threading.Thread(target=loop, name=f"relay-{stream_id}", daemon=True)
+    t.start()
+    return RelayDaemon(t, stop, state)

@@ -9,6 +9,10 @@ overwrite/merge/schema-evolve/snapshot history) map 1:1 onto Iceberg
 """
 
 from etl_framework_spark.lakehouse.dirtable import DirTable  # noqa: F401
+from etl_framework_spark.lakehouse.iceberg import (  # noqa: F401
+    IcebergTable,
+    iceberg_available,
+)
 from etl_framework_spark.lakehouse.protocol import KeyedTable  # noqa: F401
 from etl_framework_spark.lakehouse.table import (  # noqa: F401
     CommitConflict,

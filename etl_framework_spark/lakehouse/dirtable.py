@@ -62,11 +62,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_framework_spark.lakehouse.table import (
+    MERGE_POLICIES,
     CommitConflict,
     SchemaEvolutionError,
     VersionExpiredError,
     align_to_schema,
     bucket_expr,
+    entry_matches_ranges,
+    file_column_ranges,
     merge_schemas,
 )
 
@@ -89,6 +92,8 @@ class _State:
         self.schema_order: list[str] = []
         self.epochs: dict[str, int] = {}
         self.history: list[dict[str, Any]] = []
+        #: layout width; None until a rebucket commit overrides create's
+        self.n_buckets: int | None = None
 
     def fold(self, commit: dict[str, Any]) -> None:
         for h, sj in commit.get("schemas", {}).items():
@@ -114,6 +119,8 @@ class _State:
         if ep:
             s, e = ep[0], int(ep[1])
             self.epochs[s] = max(self.epochs.get(s, -1), e)
+        if commit.get("n_buckets"):
+            self.n_buckets = int(commit["n_buckets"])
         self.version = int(commit["version"])
         self.history.append(
             {"version": self.version, "summary": commit.get("summary", {})}
@@ -143,6 +150,7 @@ class _State:
         s.schema_order = list(self.schema_order)
         s.epochs = dict(self.epochs)
         s.history = list(self.history)
+        s.n_buckets = self.n_buckets
         return s
 
 
@@ -166,6 +174,9 @@ class DirTable:
             raise ValueError(f"unsupported format {tm.get('format')!r}")
         self.key_columns: list[str] = list(tm["key_columns"])
         self.n_buckets: int = int(tm["n_buckets"])
+        self._create_buckets: int = int(tm["n_buckets"])
+        self.merge_policy: str | None = tm.get("merge_policy")
+        self.order_columns: list[str] = list(tm.get("order_columns") or [])
         self._commits: list[dict[str, Any]] = []  # parsed, after checkpoint
         self._ckpt: _State | None = None
         self._state = _State()
@@ -180,10 +191,18 @@ class DirTable:
         schema: T.StructType,
         key_columns: list[str],
         n_buckets: int = 16,
+        merge_policy: str | None = None,
+        order_columns: list[str] | None = None,
     ) -> "DirTable":
         log = os.path.join(path, LOG_DIR)
         if os.path.exists(os.path.join(log, "_table.json")):
             raise FileExistsError(f"table already exists: {path}")
+        if merge_policy not in MERGE_POLICIES:
+            raise ValueError(
+                f"merge_policy must be one of {MERGE_POLICIES}, got {merge_policy!r}"
+            )
+        if merge_policy == "lww" and order_columns is None:
+            order_columns = ["ts", "_lsn"]
         os.makedirs(log, exist_ok=True)
         os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
         with open(os.path.join(log, "_table.json"), "w") as f:
@@ -192,6 +211,8 @@ class DirTable:
                     "format": FORMAT_TAG,
                     "key_columns": list(key_columns),
                     "n_buckets": int(n_buckets),
+                    "merge_policy": merge_policy,
+                    "order_columns": list(order_columns or []),
                 },
                 f,
             )
@@ -230,6 +251,7 @@ class DirTable:
         }
         s.epochs = {k: int(v) for k, v in d["epochs"].items()}
         s.history = d["history"]
+        s.n_buckets = d.get("n_buckets") or None
         return s
 
     def refresh(self) -> "DirTable":
@@ -278,6 +300,9 @@ class DirTable:
                 return self.refresh()
             raise FileNotFoundError(f"no commits found under {self.path}")
         self._state = state
+        # a rebucket commit re-keys the layout; its width overrides the
+        # create-time value until the next rebucket
+        self.n_buckets = state.n_buckets or self._create_buckets
         return self
 
     def _state_at(self, version: int) -> _State:
@@ -314,27 +339,51 @@ class DirTable:
     # --------------------------------------------------------------- reads
     def _read_files(
         self, entries: list[dict[str, Any]], schemas: dict[str, T.StructType],
-        current: T.StructType,
+        current: T.StructType, with_seq: bool = False,
     ) -> DataFrame | None:
         if not entries:
             return None
-        by_schema: dict[str, list[str]] = {}
+        groups: dict[tuple[str, int], list[str]] = {}
         for e in entries:
-            by_schema.setdefault(e["schema"], []).append(
+            seq = int(e.get("seq", 0)) if with_seq else 0
+            groups.setdefault((e["schema"], seq), []).append(
                 os.path.join(self.path, e["path"])
             )
         parts = []
-        for h, files in by_schema.items():
+        for (h, seq), files in groups.items():
             df = self.spark.read.schema(schemas[h]).parquet(*files)
-            parts.append(align_to_schema(df, current))
+            df = align_to_schema(df, current)
+            if with_seq:
+                df = df.withColumn("_seq", F.lit(seq))
+            parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
+    def _fold(self, df: DataFrame) -> DataFrame:
+        """Merge-on-read fold — same contract as ``LakeTable._fold``:
+        one winner per key, ordered by the table's ``order_columns``
+        (event-time LWW) then commit sequence (key-replace)."""
+        from pyspark.sql import Window
+
+        order = [F.col(c).desc_nulls_last() for c in self.order_columns]
+        order.append(F.col("_seq").desc())
+        w = Window.partitionBy(*self.key_columns).orderBy(*order)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
+
     def read(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
+        """Snapshot scan; same ``ranges`` file-skipping and
+        merge-on-read fold contract as ``LakeTable.read``."""
         state = self._state if version is None else self._state_at(version)
         live = (
             state.live
@@ -344,16 +393,22 @@ class DirTable:
         entries: list[dict[str, Any]] = []
         for fs in live.values():
             entries.extend(fs)
+        fold = any(e.get("kind") == "delta" for e in entries)
+        if ranges and not fold:
+            entries = [e for e in entries if entry_matches_ranges(e, ranges)]
         current = state.current_schema
-        df = self._read_files(entries, state.schemas, current)
+        df = self._read_files(entries, state.schemas, current, with_seq=fold)
         if df is None:
             return self.spark.createDataFrame([], current)
-        return df
+        return self._fold(df) if fold else df
 
     def current(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
-        df = self.read(buckets=buckets, version=version)
+        df = self.read(buckets=buckets, version=version, ranges=ranges)
         if "_deleted" in df.columns:
             df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df
@@ -388,8 +443,22 @@ class DirTable:
                 )
         return _schema_hash(merged), merged
 
+    def _stats_columns(self, schema: T.StructType) -> list[str]:
+        want = [self.key_columns[0], *self.order_columns, "ts", "_lsn"]
+        have = {f.name for f in schema.fields}
+        out: list[str] = []
+        for c in want:
+            if c in have and c not in out:
+                out.append(c)
+        return out
+
     def _write_data(
-        self, df: DataFrame, schema_hash: str
+        self,
+        df: DataFrame,
+        schema_hash: str,
+        schema: T.StructType | None = None,
+        kind: str | None = None,
+        n_buckets: int | None = None,
     ) -> dict[str, list[dict[str, Any]]]:
         commit_id = uuid.uuid4().hex[:16]
         out_dir = os.path.join(self.path, DATA_DIR, commit_id)
@@ -398,20 +467,27 @@ class DirTable:
         else:
             keyed = (
                 df.withColumn(
-                    "_bucket", bucket_expr(self.key_columns[0], self.n_buckets)
+                    "_bucket",
+                    bucket_expr(self.key_columns[0], n_buckets or self.n_buckets),
                 )
                 .repartition("_bucket")
                 .sortWithinPartitions(*self.key_columns)
             )
         keyed.write.partitionBy("_bucket").parquet(out_dir, mode="overwrite")
+        stats_cols = self._stats_columns(schema) if schema is not None else []
         adds: dict[str, list[dict[str, Any]]] = {}
         for bdir in glob.glob(os.path.join(out_dir, "_bucket=*")):
             b = bdir.rsplit("=", 1)[1]
             for fp in glob.glob(os.path.join(bdir, "*.parquet")):
                 rel = os.path.relpath(fp, self.path)
-                adds.setdefault(b, []).append(
-                    {"path": rel, "schema": schema_hash}
-                )
+                entry: dict[str, Any] = {"path": rel, "schema": schema_hash}
+                if kind == "delta":
+                    entry["kind"] = "delta"
+                if stats_cols:
+                    st = file_column_ranges(fp, stats_cols)
+                    if st:
+                        entry["stats"] = st
+                adds.setdefault(b, []).append(entry)
         return adds
 
     def _commit(
@@ -426,11 +502,34 @@ class DirTable:
         expected: dict[str, list[dict[str, Any]]] | None = None,
         on_conflict: str = "raise",
         max_retries: int = 10,
-    ) -> int:
+        epoch_skip: bool = False,
+        expect_version: int | None = None,
+        n_buckets: int | None = None,
+    ) -> int | None:
         summary = {k: (v() if callable(v) else v) for k, v in summary.items()}
         log = os.path.join(self.path, LOG_DIR)
         for _ in range(max_retries):
             self.refresh()
+            if expect_version is not None and self._state.version != expect_version:
+                raise CommitConflict(
+                    f"table moved to v{self._state.version} (expected "
+                    f"v{expect_version}) during a whole-table rewrite"
+                )
+            if (
+                epoch_skip
+                and epoch is not None
+                and int(epoch[1]) <= self._state.epochs.get(epoch[0], -1)
+            ):
+                # merge-on-read appends have no bucket preconditions; the
+                # in-loop ledger check keeps concurrent same-epoch
+                # appliers exactly-once (see LakeTable._commit)
+                return None
+            # stamp merge-on-read delta entries with the fold sequence
+            # this attempt will publish (re-stamped per retry)
+            for fs in adds.values():
+                for e in fs:
+                    if e.get("kind") == "delta":
+                        e["seq"] = self._state.version + 1
             adds_now, replaced_now = adds, list(replaced or [])
             if expected is not None:
                 stale = [
@@ -459,6 +558,8 @@ class DirTable:
                 "adds": adds_now,
                 "summary": summary,
             }
+            if n_buckets:
+                commit["n_buckets"] = int(n_buckets)
             if mode == "replace":
                 commit["replaced"] = replaced_now
             if schema_hash not in self._state.schemas:
@@ -504,7 +605,7 @@ class DirTable:
         epoch: tuple[str, int] | None = None,
     ) -> int:
         h, schema = self._ensure_schema(df.schema)
-        adds = self._write_data(align_to_schema(df, schema), h)
+        adds = self._write_data(align_to_schema(df, schema), h, schema=schema)
         return self._commit(
             "append", adds, h, schema,
             {"operation": "append", **(summary or {})}, epoch=epoch,
@@ -517,7 +618,7 @@ class DirTable:
         epoch: tuple[str, int] | None = None,
     ) -> int:
         h, schema = self._ensure_schema(df.schema)
-        adds = self._write_data(align_to_schema(df, schema), h)
+        adds = self._write_data(align_to_schema(df, schema), h, schema=schema)
         return self._commit(
             "overwrite", adds, h, schema,
             {"operation": "overwrite", **(summary or {})}, epoch=epoch,
@@ -532,8 +633,32 @@ class DirTable:
         epoch: tuple[str, int] | None = None,
         touched: list[int] | None = None,
         on_conflict: str = "raise",
-    ) -> int:
+        mode: str | None = None,
+    ) -> int | None:
+        """Keyed MERGE — same two-strategy contract as
+        ``LakeTable.merge`` (``"cow"`` rewrite vs ``"mor"`` delta
+        append folded at read; default follows the table's
+        ``merge_policy``)."""
         h, schema = self._ensure_schema(evolve_schema or source.schema)
+        if mode is None:
+            mode = "mor" if self.merge_policy else "cow"
+        if mode == "mor":
+            empty = align_to_schema(
+                self.spark.createDataFrame([], schema), schema
+            )
+            resolved = resolve(empty, source)
+            aligned = align_to_schema(resolved, schema, keep=["_bucket"])
+            adds = self._write_data(aligned, h, schema=schema, kind="delta")
+            return self._commit(
+                "append", adds, h, schema,
+                {
+                    "operation": "merge",
+                    "mor": True,
+                    "touched_buckets": sorted(int(b) for b in adds),
+                    **(summary or {}),
+                },
+                epoch=epoch, epoch_skip=True,
+            )
         if touched is None:
             touched = self.touched_buckets(source)
         expected = {
@@ -542,7 +667,7 @@ class DirTable:
         target_subset = align_to_schema(self.read(buckets=touched), schema)
         resolved = resolve(target_subset, source)
         aligned = align_to_schema(resolved, schema, keep=["_bucket"])
-        adds = self._write_data(aligned, h)
+        adds = self._write_data(aligned, h, schema=schema)
         replaced = sorted({str(b) for b in touched} | set(adds))
         return self._commit(
             "replace", adds, h, schema,
@@ -550,6 +675,46 @@ class DirTable:
             epoch=epoch, replaced=replaced, expected=expected,
             on_conflict=on_conflict,
         )
+
+    def file_stats(self) -> dict[str, Any]:
+        """Files-per-bucket distribution incl. merge-on-read delta share
+        (maintenance trigger signal) — metadata only, no data IO. Same
+        keys as ``LakeTable.file_stats``."""
+        counts: dict[str, int] = {}
+        delta_counts: dict[str, int] = {}
+        for b, fs in self._state.live.items():
+            counts[b] = len(fs)
+            delta_counts[b] = sum(1 for e in fs if e.get("kind") == "delta")
+        return {
+            "n_buckets_with_data": len(counts),
+            "total_files": sum(counts.values()),
+            "max_files_per_bucket": max(counts.values(), default=0),
+            "delta_files": sum(delta_counts.values()),
+            "max_delta_files_per_bucket": max(delta_counts.values(), default=0),
+        }
+
+    def rebucket(self, n_buckets: int, summary: dict[str, Any] | None = None) -> int:
+        """Offline whole-table re-key to a new bucket count — same
+        contract as ``LakeTable.rebucket`` (version-preconditioned
+        overwrite; epochs/watermarks carry forward; old versions stay
+        readable under their own width)."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        pre = self.version
+        h, schema = self._ensure_schema(self.schema)
+        data = align_to_schema(self.read(), schema)
+        adds = self._write_data(data, h, schema=schema, n_buckets=n_buckets)
+        v = self._commit(
+            "overwrite", adds, h, schema,
+            {
+                "operation": "rebucket",
+                "from_buckets": self.n_buckets,
+                **(summary or {}),
+            },
+            expect_version=pre, n_buckets=n_buckets,
+        )
+        assert self.n_buckets == n_buckets
+        return v
 
     # --------------------------------------------------------- maintenance
     def changes_between(self, v_from: int, v_to: int) -> DataFrame:
@@ -589,7 +754,7 @@ class DirTable:
         h, schema = self._ensure_schema(self.schema)
         expected = {str(b): list(self._state.live.get(str(b), [])) for b in cand}
         df = align_to_schema(self.read(buckets=cand), schema)
-        adds = self._write_data(df, h)
+        adds = self._write_data(df, h, schema=schema)
         return self._commit(
             "replace", adds, h, schema,
             {"operation": "compact", "buckets": cand, **(summary or {})},
@@ -619,6 +784,7 @@ class DirTable:
                 "schema_order": state.schema_order,
                 "epochs": state.epochs,
                 "history": state.history,
+                "n_buckets": state.n_buckets,
             }
             log = os.path.join(self.path, LOG_DIR)
             tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")

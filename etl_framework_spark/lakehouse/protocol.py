@@ -25,6 +25,10 @@ class KeyedTable(Protocol):
     #: columns forming the merge key; key_columns[0] drives bucketing
     key_columns: list[str]
     n_buckets: int
+    #: merge-on-read policy (None = copy-on-write only; "lww" folds
+    #: deltas by order_columns; "replace" folds by commit sequence)
+    merge_policy: str | None
+    order_columns: list[str]
 
     # -------------------------------------------------------------- meta
     @property
@@ -52,11 +56,24 @@ class KeyedTable(Protocol):
         ...
 
     # ------------------------------------------------------------- reads
-    def read(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
-        """Snapshot scan, optionally bucket-pruned and/or time-travel."""
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Snapshot scan, optionally bucket-pruned and/or time-travel.
+        ``ranges`` ``{col: (lo, hi)}`` skips files whose recorded
+        min/max stats cannot match (pruning only — the caller still
+        applies its row filter)."""
         ...
 
-    def current(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+    def current(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """Live rows (delete tombstones filtered)."""
         ...
 
@@ -86,13 +103,29 @@ class KeyedTable(Protocol):
         epoch: tuple[str, int] | None = None,
         touched: list[int] | None = None,
         on_conflict: str = "raise",
-    ) -> int:
-        """Copy-on-write keyed merge; ``resolve(target_subset, source)``
-        owns row semantics, the table owns IO minimization + atomic
-        publication + optimistic-concurrency preconditions."""
+        mode: str | None = None,
+    ) -> int | None:
+        """Keyed merge; ``resolve(target_subset, source)`` owns row
+        semantics, the table owns IO minimization + atomic publication +
+        optimistic-concurrency preconditions. ``mode`` picks the
+        physical strategy: ``"cow"`` rewrites touched buckets;
+        ``"mor"`` appends resolved delta files folded at read
+        (``resolve`` then receives an EMPTY target and must emit
+        tombstones for deletes). Default follows ``merge_policy``.
+        MoR merges return ``None`` when ``epoch`` was already applied."""
         ...
 
     # ------------------------------------------------------- maintenance
     def compact(self, buckets: list[int] | None = None, min_files: int = 2, summary: dict | None = None) -> int: ...
 
     def expire_snapshots(self, keep_last: int = 10, grace_seconds: int = 3600) -> dict[str, int]: ...
+
+    def file_stats(self) -> dict[str, Any]:
+        """Files/deltas-per-bucket distribution (metadata only) — the
+        stats-driven maintenance trigger signal."""
+        ...
+
+    def rebucket(self, n_buckets: int, summary: dict | None = None) -> int:
+        """Offline whole-table re-key to a new bucket count
+        (version-preconditioned; epochs carry forward)."""
+        ...

@@ -39,6 +39,20 @@ MERGE pattern:
   ranges, source offsets) in the snapshot summary — the distributed analog
   of the reference's audit trail
   (reference:src/etl_framework/security/audit_logger.py:100-146).
+- **Merge-on-read** (``merge_policy`` at create): a MERGE may commit its
+  resolved batch as per-epoch DELTA files (insert rows + key tombstones,
+  manifest entries tagged ``kind="delta"`` with the commit version as
+  ``seq``) appended to the touched buckets instead of rewriting them —
+  write cost becomes O(batch), decoupled from bucket size (at 100 TB a
+  400-row delta no longer rewrites 7 multi-GB buckets). Reads FOLD the
+  deltas: one winner per key ordered by the table's ``order_columns``
+  (event-time LWW, e.g. ``("ts","_lsn")``) or, with no order columns,
+  by commit sequence (key-replace, the relay-replica policy), ``_seq``
+  breaking exact ties. ``compact`` collapses deltas back to base files
+  (copy-on-write stays the compaction path), bounding fold cost.
+- **File-level column stats**: every manifest entry records per-file
+  min/max ranges for the key/order columns (Iceberg's manifest metrics);
+  range-bounded reads skip files whose ranges cannot match.
 """
 
 from __future__ import annotations
@@ -118,6 +132,93 @@ def commit_with_retry(
             if attempt == max_retries - 1:
                 raise
             time.sleep(base_backoff_s * (2**attempt) * (0.5 + random.random()))
+
+
+#: merge policies a table may be created with. ``None`` = copy-on-write
+#: only (every MERGE rewrites its touched buckets — the pre-r5 behavior).
+#: "lww"     = merge-on-read, deltas folded by event-time order columns
+#:             (default ``("ts", "_lsn")``) — the CDC apply_changes shape.
+#: "replace" = merge-on-read, deltas folded by commit sequence (newest
+#:             commit wins per key) — the relay-replica shape, where each
+#:             delta is a state diff, not an event, and D rows may carry
+#:             NULL order columns (post-GC deletes).
+MERGE_POLICIES = (None, "lww", "replace")
+
+
+def _encode_stat(v):
+    """JSON-encode a column min/max value. Timestamps normalize to
+    NAIVE UTC (the session timezone is pinned to UTC, so bounds arrive
+    naive); everything non-scalar is dropped (no stats)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return {"__ts__": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__ts__": v.isoformat()}
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return None
+
+
+def _decode_stat(v):
+    import datetime
+
+    if isinstance(v, dict) and "__ts__" in v:
+        return datetime.datetime.fromisoformat(v["__ts__"])
+    return v
+
+
+def file_column_ranges(fp: str, cols: list[str]) -> dict[str, list]:
+    """Per-file min/max for ``cols`` from the parquet footer (no data
+    read — the same metadata Iceberg records in its manifests). Best
+    effort: a column with missing/unusable stats is omitted."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list] = {}
+    try:
+        md = pq.ParquetFile(fp).metadata
+    except Exception:
+        return out
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for c in cols:
+        i = names.get(c)
+        if i is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            elo, ehi = _encode_stat(lo), _encode_stat(hi)
+            if elo is not None and ehi is not None:
+                out[c] = [elo, ehi]
+    return out
+
+
+def entry_matches_ranges(entry: dict, ranges: dict[str, tuple]) -> bool:
+    """True unless the entry's recorded stats PROVE no row can satisfy
+    every ``col: (lo, hi)`` bound (either side may be None = unbounded).
+    Entries without stats for a bounded column always match (sound)."""
+    stats = entry.get("stats") or {}
+    for c, (lo, hi) in ranges.items():
+        if c not in stats:
+            continue
+        fmin, fmax = _decode_stat(stats[c][0]), _decode_stat(stats[c][1])
+        try:
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+        except TypeError:  # incomparable bound vs stored stat type
+            continue
+    return True
 
 
 def bucket_expr(key, n_buckets: int):
@@ -204,6 +305,7 @@ class Snapshot:
         shards: dict[str, str] | None = None,  # shard_idx(str) -> relpath
         base_path: str | None = None,
         shard_size: int = 0,
+        n_buckets: int | None = None,
     ):
         self.version = version
         self.schema_id = schema_id
@@ -213,6 +315,9 @@ class Snapshot:
         self.shards = shards or {}
         self._base = base_path
         self.shard_size = shard_size
+        #: bucket count this snapshot's layout was written with; None =
+        #: the table.json create-time value (pre-rebucket snapshots)
+        self.n_buckets = n_buckets
         self._cache: dict[str, dict[str, list[dict[str, Any]]]] = {}
 
     @property
@@ -332,6 +437,8 @@ class LakeTable:
         self.n_buckets: int = 0
         self.key_columns: list[str] = []
         self.manifest_shard_size: int = 0
+        self.merge_policy: str | None = None
+        self.order_columns: list[str] = []
         self._load_meta()
 
     # ------------------------------------------------------------- create
@@ -345,12 +452,20 @@ class LakeTable:
         n_buckets: int = 32,
         if_exists: str = "error",
         manifest_shard_size: int | None = None,
+        merge_policy: str | None = None,
+        order_columns: list[str] | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``if_exists``: error | ignore | replace.
 
         ``manifest_shard_size``: buckets per manifest shard; 0 = inline
         bucket map. Default: inline up to ``MANIFEST_INLINE_MAX``
-        buckets, else ~``MANIFEST_TARGET_SHARDS`` shards."""
+        buckets, else ~``MANIFEST_TARGET_SHARDS`` shards.
+
+        ``merge_policy`` (see ``MERGE_POLICIES``): ``None`` keeps every
+        MERGE copy-on-write; ``"lww"``/``"replace"`` let MERGE commit
+        delta files folded at read (merge-on-read). ``order_columns``
+        is the event-time total order used by the ``"lww"`` fold
+        (default ``["ts", "_lsn"]`` — the CDC stored shape)."""
         meta = os.path.join(os.path.abspath(path), META_DIR)
         if os.path.exists(os.path.join(meta, "table.json")):
             if if_exists == "error":
@@ -367,6 +482,12 @@ class LakeTable:
                 if n_buckets <= MANIFEST_INLINE_MAX
                 else -(-n_buckets // MANIFEST_TARGET_SHARDS)
             )
+        if merge_policy not in MERGE_POLICIES:
+            raise ValueError(
+                f"merge_policy must be one of {MERGE_POLICIES}, got {merge_policy!r}"
+            )
+        if merge_policy == "lww" and order_columns is None:
+            order_columns = ["ts", "_lsn"]
         os.makedirs(meta, exist_ok=True)
         os.makedirs(os.path.join(meta, SHARD_DIR), exist_ok=True)
         os.makedirs(os.path.join(os.path.abspath(path), DATA_DIR), exist_ok=True)
@@ -375,6 +496,8 @@ class LakeTable:
             "key_columns": key_columns,
             "n_buckets": n_buckets,
             "manifest_shard_size": manifest_shard_size,
+            "merge_policy": merge_policy,
+            "order_columns": list(order_columns or []),
             "schemas": {"0": json.loads(schema.json())},
         }
         with open(os.path.join(meta, "table.json"), "w") as f:
@@ -416,6 +539,7 @@ class LakeTable:
             shards=s.get("shards"),
             base_path=self.path,
             shard_size=self.manifest_shard_size,
+            n_buckets=s.get("n_buckets"),
         )
 
     def _latest_version(self, meta: str) -> int:
@@ -472,12 +596,19 @@ class LakeTable:
         self.key_columns = tm["key_columns"]
         self.n_buckets = tm["n_buckets"]
         self.manifest_shard_size = int(tm.get("manifest_shard_size", 0))
+        self.merge_policy = tm.get("merge_policy")
+        self.order_columns = list(tm.get("order_columns") or [])
         self._schemas = {
             int(k): T.StructType.fromJson(v) for k, v in tm["schemas"].items()
         }
         with open(os.path.join(meta, "v%012d.json" % self._latest_version(meta))) as f:
             s = json.load(f)
         self._snap = self._snapshot_from_json(s)
+        # ``rebucket`` re-keys the layout: the snapshot's bucket count
+        # (carried forward by every commit) overrides table.json's
+        # create-time value.
+        if self._snap.n_buckets:
+            self.n_buckets = int(self._snap.n_buckets)
 
     def refresh(self) -> "LakeTable":
         self._load_meta()
@@ -530,50 +661,96 @@ class LakeTable:
         return self._snapshot_from_json(s)
 
     # -------------------------------------------------------------- reads
-    def _read_files(self, entries: list[dict[str, Any]]) -> DataFrame | None:
+    def _read_files(
+        self, entries: list[dict[str, Any]], with_seq: bool = False
+    ) -> DataFrame | None:
         """Read manifest file entries, upcasting each schema group to the
-        current table schema."""
+        current table schema. ``with_seq`` attaches each file's fold
+        sequence as ``_seq`` (delta entries carry their commit version;
+        base entries fold below every delta appended after them)."""
         if not entries:
             return None
-        by_schema: dict[int, list[str]] = {}
+        groups: dict[tuple[int, int], list[str]] = {}
         for e in entries:
-            by_schema.setdefault(int(e["schema_id"]), []).append(
+            seq = int(e.get("seq", 0)) if with_seq else 0
+            groups.setdefault((int(e["schema_id"]), seq), []).append(
                 os.path.join(self.path, e["path"])
             )
         current = self.schema
         parts = []
-        for sid, files in by_schema.items():
+        for (sid, seq), files in groups.items():
             df = self.spark.read.schema(self._schemas[sid]).parquet(*files)
-            parts.append(align_to_schema(df, current))
+            df = align_to_schema(df, current)
+            if with_seq:
+                df = df.withColumn("_seq", F.lit(seq))
+            parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
+    def _fold(self, df: DataFrame) -> DataFrame:
+        """Merge-on-read fold: one winner per key across base + delta
+        rows. Order: the table's event-time ``order_columns`` (LWW —
+        a later delta commit carrying an OLDER event loses to the base
+        row, matching the copy-on-write resolver exactly), then commit
+        sequence ``_seq`` (the whole order for ``"replace"`` tables,
+        where deltas are state diffs and newest commit wins). One
+        shuffle on the key; ``compact`` collapses deltas so steady-state
+        reads skip the fold entirely."""
+        from pyspark.sql import Window
+
+        order = [F.col(c).desc_nulls_last() for c in self.order_columns]
+        order.append(F.col("_seq").desc())
+        w = Window.partitionBy(*self.key_columns).orderBy(*order)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
+
     def read(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Snapshot as a DataFrame; optionally only some buckets and/or a
         historical ``version`` (time travel — old data files are never
         mutated, only dereferenced, so any committed version stays
-        readable until GC)."""
+        readable until GC).
+
+        ``ranges`` — ``{col: (lo, hi)}`` scan bounds (either side may be
+        None): files whose recorded min/max stats prove no row matches
+        are skipped entirely (Iceberg metrics-based file skipping). The
+        bounds only PRUNE — the caller still applies its row filter.
+        Pruning is disabled when the selected buckets contain unfolded
+        merge-on-read deltas: dropping a file there could promote a
+        superseded row version to fold winner, changing results, not
+        just cost."""
         snap = self.snapshot if version is None else self.snapshot_at(version)
         # bucket selection loads only the covering manifest shards
         bmap = snap.buckets if buckets is None else snap.buckets_for(buckets)
         entries: list[dict[str, Any]] = []
         for files in bmap.values():
             entries.extend(files)
-        df = self._read_files(entries)
+        fold = any(e.get("kind") == "delta" for e in entries)
+        if ranges and not fold:
+            entries = [e for e in entries if entry_matches_ranges(e, ranges)]
+        df = self._read_files(entries, with_seq=fold)
         if df is None:
             return self.spark.createDataFrame([], self.schema)
-        return df
+        return self._fold(df) if fold else df
 
     def current(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Live rows: ``read()`` minus delete tombstones (if the table
         carries the ``_deleted`` system column)."""
-        df = self.read(buckets=buckets, version=version)
+        df = self.read(buckets=buckets, version=version, ranges=ranges)
         if "_deleted" in df.columns:
             df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df
@@ -610,10 +787,13 @@ class LakeTable:
     def compact_tombstones(self, older_than) -> int:
         """Garbage-collect tombstones whose ``ts`` predates the log's
         out-of-orderness bound (events older than this can no longer
-        arrive, so the tombstone has finished its job)."""
+        arrive, so the tombstone has finished its job). The hit scan is
+        file-skipped via manifest stats: only files whose ``ts`` range
+        reaches below the bound are opened."""
         return self.delete_where(
             F.coalesce(F.col("_deleted"), F.lit(False)) & (F.col("ts") < F.lit(older_than)),
             summary={"operation": "compact_tombstones"},
+            ranges={"ts": (None, older_than)},
         )
 
     def touched_buckets(self, source: DataFrame) -> list[int]:
@@ -636,13 +816,35 @@ class LakeTable:
         return sorted(r["b"] for r in rows)
 
     # ------------------------------------------------------------- writes
-    def _write_data(self, df: DataFrame, schema_id: int) -> dict[str, list[dict[str, Any]]]:
+    def _stats_columns(self, schema: T.StructType) -> list[str]:
+        """Columns whose per-file min/max ranges ride in the manifest:
+        the bucket key plus the event-order columns (what time-travel /
+        feed / GC reads bound on)."""
+        want = [self.key_columns[0], *self.order_columns, "ts", "_lsn"]
+        have = {f.name for f in schema.fields}
+        out: list[str] = []
+        for c in want:
+            if c in have and c not in out:
+                out.append(c)
+        return out
+
+    def _write_data(
+        self,
+        df: DataFrame,
+        schema_id: int,
+        kind: str | None = None,
+        n_buckets: int | None = None,
+    ) -> dict[str, list[dict[str, Any]]]:
         """Write df (already aligned to schema_id's schema) bucket-
         partitioned; returns bucket -> manifest entries.
 
         If ``df`` already carries a ``_bucket`` column (the single-shuffle
         resolver emits data repartitioned by bucket and key-sorted), it is
-        written as-is — no extra exchange or sort."""
+        written as-is — no extra exchange or sort.
+
+        ``kind="delta"`` tags the entries as merge-on-read deltas (the
+        commit stamps their fold sequence); ``n_buckets`` overrides the
+        layout width (``rebucket``)."""
         commit_id = uuid.uuid4().hex[:16]
         out_dir = os.path.join(self.path, DATA_DIR, commit_id)
         schema = self._schemas[schema_id]
@@ -653,19 +855,31 @@ class LakeTable:
             # written by the tasks owning that bucket; file count per
             # bucket stays low.
             keyed = (
-                df.withColumn("_bucket", bucket_expr(self.key_columns[0], self.n_buckets))
+                df.withColumn(
+                    "_bucket",
+                    bucket_expr(self.key_columns[0], n_buckets or self.n_buckets),
+                )
                 .repartition("_bucket")
                 .sortWithinPartitions(*self.key_columns)
             )
         keyed.write.partitionBy("_bucket").parquet(out_dir, mode="overwrite")
+        stats_cols = self._stats_columns(schema)
         buckets: dict[str, list[dict[str, Any]]] = {}
         for bdir in glob.glob(os.path.join(out_dir, "_bucket=*")):
             b = bdir.rsplit("=", 1)[1]
             for fp in glob.glob(os.path.join(bdir, "*.parquet")):
                 rel = os.path.relpath(fp, self.path)
-                buckets.setdefault(b, []).append({"path": rel, "schema_id": schema_id})
-        # partitionBy drops _bucket from the files; record schema minus it.
-        _ = schema
+                entry: dict[str, Any] = {"path": rel, "schema_id": schema_id}
+                if kind == "delta":
+                    entry["kind"] = "delta"
+                # Footer-only metadata read (Iceberg manifest metrics
+                # analog) — lets bounded reads skip files. Best-effort:
+                # a remote store would compute these executor-side at
+                # write time; here the files are local to the driver.
+                st = file_column_ranges(fp, stats_cols)
+                if st:
+                    entry["stats"] = st
+                buckets.setdefault(b, []).append(entry)
         return buckets
 
     def _write_shard(self, content: dict[str, list[dict[str, Any]]]) -> str:
@@ -703,7 +917,10 @@ class LakeTable:
         summary: dict[str, Any],
         epoch: tuple[str, int] | None = None,
         max_retries: int = 10,
-    ) -> int:
+        epoch_skip: bool = False,
+        expect_version: int | None = None,
+        n_buckets: int | None = None,
+    ) -> int | None:
         """Atomically publish a new snapshot from a BucketDelta.
 
         Optimistic concurrency: the hard-link commit fails if another
@@ -721,9 +938,35 @@ class LakeTable:
         for _ in range(max_retries):
             self._load_meta()
             snap = self.snapshot
+            if expect_version is not None and snap.version != expect_version:
+                # whole-table precondition (rebucket): ANY concurrent
+                # commit invalidates the rewrite — re-read and retry via
+                # commit_with_retry, never silently clobber.
+                raise CommitConflict(
+                    f"table moved to v{snap.version} (expected "
+                    f"v{expect_version}) during a whole-table rewrite"
+                )
+            if (
+                epoch_skip
+                and epoch is not None
+                and epoch[1] <= int(snap.epochs.get(epoch[0], -1))
+            ):
+                # Append-mode (merge-on-read) commits carry no bucket
+                # preconditions, so the CoW path's conflict-then-recheck
+                # never fires — this in-loop ledger check is what makes
+                # two concurrent appliers of the SAME epoch exactly-once
+                # (the loser sees the winner's marker and no-ops).
+                return None
             new_epochs = dict(snap.epochs)
             if epoch is not None:
                 new_epochs[epoch[0]] = max(int(new_epochs.get(epoch[0], -1)), epoch[1])
+            # Merge-on-read delta entries fold by commit sequence — stamp
+            # them with the version this attempt will publish (re-stamped
+            # on retry; the dicts are shared with ``delta``).
+            for fs in delta.entries.values():
+                for e in fs:
+                    if e.get("kind") == "delta":
+                        e["seq"] = snap.version + 1
             new: dict[str, Any] = {
                 "version": snap.version + 1,
                 # Schema ids are monotone (evolution only appends); a
@@ -737,6 +980,11 @@ class LakeTable:
                 "summary": summary,
                 "epochs": new_epochs,
             }
+            eff_buckets = n_buckets or snap.n_buckets
+            if eff_buckets:
+                # layout width travels with every snapshot once a
+                # rebucket changed it (table.json keeps the create value)
+                new["n_buckets"] = int(eff_buckets)
             if snap.sharded:
                 new["shards"] = self._sharded_map(delta, snap)
             else:
@@ -834,10 +1082,25 @@ class LakeTable:
         epoch: tuple[str, int] | None = None,
         touched: list[int] | None = None,
         on_conflict: str = "raise",
-    ) -> int:
-        """Copy-on-write MERGE: read only the buckets ``source`` touches,
-        apply ``resolve(target_subset, source) -> new_subset``, rewrite
-        those buckets, carry every other bucket forward by reference.
+        mode: str | None = None,
+    ) -> int | None:
+        """Keyed MERGE. Two physical strategies behind one semantic:
+
+        - ``mode="cow"`` (copy-on-write, the default for tables created
+          without a ``merge_policy``): read only the buckets ``source``
+          touches, apply ``resolve(target_subset, source)``, rewrite
+          those buckets, carry every other bucket forward by reference.
+        - ``mode="mor"`` (merge-on-read, the default when the table has
+          a ``merge_policy``): ``resolve`` runs against an EMPTY target
+          (it must emit self-contained rows — per-key winners with
+          delete TOMBSTONES, never physical drops) and the result is
+          committed as per-epoch DELTA files appended to the touched
+          buckets. No target read, no bucket rewrite: write cost is
+          O(batch) regardless of bucket size. Reads fold the deltas per
+          the table's policy; ``compact`` collapses them back to base.
+          Returns ``None`` when ``epoch`` was already applied (the
+          in-commit ledger check — appends have no bucket preconditions
+          to conflict on).
 
         ``resolve`` owns the row semantics (LWW upsert, delete handling);
         this method owns IO minimization + atomic publication. Iceberg
@@ -858,6 +1121,27 @@ class LakeTable:
         """
         sid = self._ensure_schema(evolve_schema or source.schema)
         current = self._schemas[sid]
+        if mode is None:
+            mode = "mor" if self.merge_policy else "cow"
+        if mode == "mor":
+            empty = align_to_schema(
+                self.spark.createDataFrame([], current), current
+            )
+            resolved = resolve(empty, source)
+            aligned = align_to_schema(resolved, current, keep=["_bucket"])
+            new_buckets = self._write_data(aligned, sid, kind="delta")
+            return self._commit(
+                BucketDelta("append", new_buckets),
+                sid,
+                {
+                    "operation": "merge",
+                    "mor": True,
+                    "touched_buckets": sorted(int(b) for b in new_buckets),
+                    **(summary or {}),
+                },
+                epoch=epoch,
+                epoch_skip=True,
+            )
 
         if touched is None:
             touched = self.touched_buckets(source)
@@ -956,12 +1240,20 @@ class LakeTable:
         }
 
     def file_stats(self) -> dict[str, Any]:
-        """Files-per-bucket distribution (maintenance signal)."""
-        counts = {b: len(fs) for b, fs in self.snapshot.buckets.items()}
+        """Files-per-bucket distribution (the maintenance trigger
+        signal): total/max files per bucket, plus the merge-on-read
+        delta share — metadata-only, no data IO."""
+        counts: dict[str, int] = {}
+        delta_counts: dict[str, int] = {}
+        for b, fs in self.snapshot.buckets.items():
+            counts[b] = len(fs)
+            delta_counts[b] = sum(1 for e in fs if e.get("kind") == "delta")
         return {
             "n_buckets_with_data": len(counts),
             "total_files": sum(counts.values()),
             "max_files_per_bucket": max(counts.values(), default=0),
+            "delta_files": sum(delta_counts.values()),
+            "max_delta_files_per_bucket": max(delta_counts.values(), default=0),
         }
 
     def compact(
@@ -1004,9 +1296,48 @@ class LakeTable:
             {"operation": "compact", "buckets": frag, **(summary or {})},
         )
 
-    def delete_where(self, condition, summary: dict[str, Any] | None = None) -> int:
+    def rebucket(self, n_buckets: int, summary: dict[str, Any] | None = None) -> int:
+        """Offline maintenance: rewrite the WHOLE table under a new
+        bucket count (a table sized for 1 TB keeps its create-time
+        width forever otherwise — at 100 TB each bucket becomes a
+        multi-TB merge unit). Copy-on-write and conflict-safe: the
+        commit carries a whole-table version precondition, so ANY
+        concurrent commit raises ``CommitConflict`` (re-run via
+        ``commit_with_retry``) instead of being clobbered. Epoch
+        ledgers (relay watermarks, stream markers) carry forward;
+        old snapshots stay readable under their own layout width."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        pre = self.version
+        sid = self.snapshot.schema_id
+        data = align_to_schema(self.read(), self._schemas[sid])
+        new_buckets = self._write_data(data, sid, n_buckets=n_buckets)
+        v = self._commit(
+            BucketDelta("overwrite", new_buckets),
+            sid,
+            {
+                "operation": "rebucket",
+                "from_buckets": self.n_buckets,
+                **(summary or {}),
+            },
+            expect_version=pre,
+            n_buckets=n_buckets,
+        )
+        # _commit's final _load_meta already adopted the new width
+        assert self.n_buckets == n_buckets
+        return v
+
+    def delete_where(
+        self,
+        condition,
+        summary: dict[str, Any] | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> int:
         """Delete rows matching ``condition``, rewriting ONLY the buckets
-        that contain matching rows.
+        that contain matching rows. ``ranges`` (optional) is a
+        conservative ``{col: (lo, hi)}`` bound IMPLIED by the condition
+        (every matching row falls inside it) — the hit scan then skips
+        files whose stats cannot intersect it.
 
         Two passes, both delta-proportional at scale:
 
@@ -1027,7 +1358,7 @@ class LakeTable:
         key = self.key_columns[0]
         kcol = F.col(key).cast(self.schema[key].dataType)
         hit = (
-            self.read()
+            self.read(ranges=ranges)
             .where(condition)
             .select(bucket_expr(kcol, self.n_buckets).alias("b"))
             .distinct()

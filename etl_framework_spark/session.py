@@ -96,6 +96,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 timestamps (Spark's legacy default) carry NO footer
+        # min/max statistics, killing both parquet predicate pushdown
+        # on ts and the lakehouse manifests' file-range skipping.
+        # TIMESTAMP_MICROS is the standard annotated type every modern
+        # reader (DuckDB, Arrow, Trino) understands.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # v2 commits rename task outputs task-side (parallel) instead of
         # sequentially on the driver at job commit — measurable on
         # many-partition dynamic writes; snapshot atomicity here comes

@@ -50,6 +50,8 @@ def start_ingest(
     expire_keep_last: int = 50,
     expire_grace_seconds: int = 3600,
     table_factory: Callable[[SparkSession, str], "LakeTable"] | None = None,
+    maintenance_max_files: int = 0,
+    maintenance_check_every: int = 1,
 ) -> StreamingQuery:
     """Tail ``change_dir`` (recursive parquet file source) into the
     LakeTable at ``table_path``.
@@ -59,13 +61,23 @@ def start_ingest(
     continuous ``processing_time`` trigger. ``on_batch`` is a test hook
     called after each successful apply (e.g. to simulate a crash).
 
-    ``maintenance_every=N`` (0 = off) runs table maintenance every N
-    applied epochs, inline between batches: ``compact`` (copy-on-write,
-    ``keep_fresh`` conflict policy — safe next to any writer) and
-    ``expire_snapshots`` (bounds the version directory, which otherwise
-    grows one file per epoch forever). Failures are logged to stderr
-    and never fail the stream — maintenance is best-effort by design;
-    the chaos soak covers the concurrent case.
+    Maintenance (best-effort between batches; failures are logged to
+    stderr and never fail the stream — the chaos soak covers the
+    concurrent case):
+
+    - ``maintenance_every=N`` (0 = off): every N applied epochs run
+      ``compact`` (copy-on-write, ``keep_fresh`` conflict policy — safe
+      next to any writer) and ``expire_snapshots`` (bounds the version
+      directory, which otherwise grows one file per epoch forever).
+    - ``maintenance_max_files=M`` (0 = off): STATS-DRIVEN compaction —
+      every ``maintenance_check_every`` epochs consult
+      ``table.file_stats()`` (metadata only) and compact ONLY when some
+      bucket holds >= M files, passing ``min_files=M`` so exactly the
+      hot buckets rewrite and cold buckets aren't churned. This is the
+      right trigger for merge-on-read tables, where delta files
+      accumulate at the per-bucket rate the keys actually hash to, not
+      uniformly per epoch. When set, it replaces the epoch-cadence
+      compaction (``maintenance_every`` keeps driving snapshot expiry).
     """
     reader = (
         spark.readStream.schema(schema)
@@ -90,12 +102,26 @@ def start_ingest(
             salt_partitions=salt_partitions,
             source_offsets={"epoch": int(epoch_id)},
         )
-        if maintenance_every > 0 and int(epoch_id) > 0 and int(epoch_id) % maintenance_every == 0:
-            import sys as _sys
+        import sys as _sys
 
+        stats_mode = maintenance_max_files > 0
+        if (
+            stats_mode
+            and int(epoch_id) % max(maintenance_check_every, 1) == 0
+        ):
             try:
-                table.refresh().compact(min_files=compact_min_files)
-                table.expire_snapshots(
+                st = table.refresh().file_stats()
+                if st["max_files_per_bucket"] >= maintenance_max_files:
+                    # min_files = the threshold itself: exactly the hot
+                    # buckets rewrite; cold buckets carry by reference
+                    table.compact(min_files=maintenance_max_files)
+            except Exception as e:  # best-effort; the stream must not die
+                print(f"[ingest] stats maintenance skipped: {e!r}", file=_sys.stderr)
+        if maintenance_every > 0 and int(epoch_id) > 0 and int(epoch_id) % maintenance_every == 0:
+            try:
+                if not stats_mode:
+                    table.refresh().compact(min_files=compact_min_files)
+                table.refresh().expire_snapshots(
                     keep_last=expire_keep_last,
                     grace_seconds=expire_grace_seconds,
                 )

@@ -26,3 +26,8 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "performance: reference throughput-floor parity tests"
     )
+    config.addinivalue_line(
+        "markers",
+        "iceberg: conformance run of the IcebergTable adapter against a "
+        "real iceberg-spark-runtime jar (skips when none is present)",
+    )

@@ -14,7 +14,7 @@ from etl_framework_spark.cdc import apply_changes  # noqa: F401 (api surface)
 from etl_framework_spark.datagen import write_change_log
 from etl_framework_spark.lakehouse import LakeTable
 from etl_framework_spark.schemas import CHANGE_SCHEMA, KEY_COLUMNS, TRANSCRIPT_SCHEMA
-from etl_framework_spark.streaming import start_ingest
+from etl_framework_spark.streaming import run_to_completion, start_ingest
 
 from tests.oracle import replay
 
@@ -440,3 +440,44 @@ def test_two_concurrent_streams_same_table(spark, tmp_path):
     # both streams' epoch markers committed
     t = LakeTable(spark, table_path)
     assert t.last_epoch("a") >= 0 and t.last_epoch("b") >= 0
+
+
+def test_stats_driven_maintenance_bounds_files(spark, tmp_path):
+    """maintenance_max_files (round-5 VERDICT #7): compaction fires from
+    the per-bucket FILE COUNT (file_stats), not the epoch counter — a
+    merge-on-read ingest keeps every bucket's file count bounded while
+    cold buckets aren't rewritten, and the final state still matches
+    the replay oracle."""
+    change_dir = str(tmp_path / "changes")
+    table_path = str(tmp_path / "table")
+    write_change_log(spark, change_dir, n_events=6000, n_batches=6, n_convs=60, seed=5)
+    LakeTable.create(
+        spark, table_path, STORED_SCHEMA, KEY_COLUMNS, n_buckets=8,
+        merge_policy="lww",
+    )
+    all_pdf = (
+        spark.read.schema(CHANGE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(change_dir)
+        .toPandas()
+    )
+    run_to_completion(
+        spark, table_path, change_dir, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
+        stream_id="s", max_files_per_trigger=1,
+        maintenance_max_files=3,
+    )
+    t = LakeTable(spark, table_path)
+    st = t.file_stats()
+    # 6 MoR epochs over 8 buckets would leave ~6 delta files per bucket
+    # unmaintained; the stats trigger keeps the ceiling at threshold+1
+    # (one delta may land after the last check)
+    assert st["max_files_per_bucket"] <= 4, st
+    compactions = [
+        h for h in t.history() if h["summary"].get("operation") == "compact"
+    ]
+    assert compactions, "stats trigger must have compacted at least once"
+    # hot-bucket selectivity: compact commits list ONLY buckets at/over
+    # the threshold, so cold buckets were never churned
+    for c in compactions:
+        assert c["summary"].get("buckets"), c
+    assert_matches_oracle(spark, table_path, all_pdf)

@@ -276,9 +276,17 @@ def test_expire_snapshots_gc_and_time_travel_window(spark, table):
     # live state intact
     assert table.current().head()["text"] == "v5"
     assert table.current(version=5).head()["text"] == "v4"
-    # expired version unreadable (file gone)
-    with pytest.raises(FileNotFoundError):
+    # expired version signals the DEDICATED retention error (the relay
+    # keys its bootstrap-vs-gap decision on this, round-4 ADVICE), not
+    # a bare missing-file error
+    from etl_framework_spark.lakehouse import VersionExpiredError
+
+    with pytest.raises(VersionExpiredError):
         table.snapshot_at(2)
+    # a version beyond the head is a plain ValueError, never "expired"
+    with pytest.raises(ValueError) as exc_info:
+        table.snapshot_at(99)
+    assert not isinstance(exc_info.value, VersionExpiredError)
     n_files_after = len(
         g.glob(os.path.join(table.path, "data", "**", "*.parquet"), recursive=True)
     )
