@@ -88,8 +88,15 @@ def _stats(times: list[float]) -> dict:
     }
 
 
-def bench_cdc_apply(spark, n_events: int, n_buckets: int = 64) -> tuple[list[float], int]:
-    """End-to-end change application: gen -> parquet log -> LWW+merge."""
+def bench_cdc_apply(
+    spark, n_events: int, n_buckets: int = 64, merge_policy: str | None = None
+) -> tuple[list[float], int]:
+    """End-to-end change application: gen -> parquet log -> LWW+merge.
+
+    ``merge_policy="lww"`` measures the MERGE-ON-READ write path (delta
+    append, no bucket rewrite) — the round-5 write-amplification lever;
+    ``None`` keeps the copy-on-write path for round-over-round
+    comparability."""
     from etl_framework_spark.cdc import apply_changes
     from etl_framework_spark.datagen import gen_changes
     from etl_framework_spark.lakehouse import LakeTable
@@ -115,6 +122,7 @@ def bench_cdc_apply(spark, n_events: int, n_buckets: int = 64) -> tuple[list[flo
             schema=T.StructType(stored),
             key_columns=KEY_COLUMNS,
             n_buckets=n_buckets,
+            merge_policy=merge_policy,
         )
         apply_changes(warm, changes.limit(max(applied // 10, 1)), stream_id="w", epoch_id=0)
         # $SPARK_GRAFT_BENCH_TRIALS warm trials into fresh tables (same
@@ -131,6 +139,7 @@ def bench_cdc_apply(spark, n_events: int, n_buckets: int = 64) -> tuple[list[flo
                 schema=T.StructType(stored),
                 key_columns=KEY_COLUMNS,
                 n_buckets=n_buckets,
+                merge_policy=merge_policy,
             )
             t0 = time.perf_counter()
             apply_changes(table, changes, stream_id="bench", epoch_id=0)
@@ -187,6 +196,19 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # merge-on-read write path (round 5): same log, deltas instead of
+    # bucket rewrites — the number that scales with BATCH size, not
+    # bucket size, at 100 TB
+    mor_times, mor_applied = bench_cdc_apply(spark, n_events, merge_policy="lww")
+    query_stats["cdc_apply_mor"] = _stats(mor_times)
+    mor_sec = query_stats["cdc_apply_mor"]["best"]
+    queries["cdc_apply_mor"] = mor_sec
+    print(
+        f"[bench] cdc_apply_mor: {mor_applied} events in {mor_sec:.2f}s "
+        f"= {mor_applied / mor_sec:,.0f} events/sec",
+        file=sys.stderr,
+    )
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -198,6 +220,7 @@ def main() -> int:
                 "query_stats": query_stats,
                 "sf": sf,
                 "cdc_events_per_sec": round(applied / cdc_sec, 1),
+                "cdc_mor_events_per_sec": round(mor_applied / mor_sec, 1),
             }
         )
     )

@@ -68,8 +68,8 @@ from etl_framework_spark.lakehouse.table import (
     VersionExpiredError,
     align_to_schema,
     bucket_expr,
+    collect_file_ranges,
     entry_matches_ranges,
-    file_column_ranges,
     merge_schemas,
 )
 
@@ -475,19 +475,22 @@ class DirTable:
             )
         keyed.write.partitionBy("_bucket").parquet(out_dir, mode="overwrite")
         stats_cols = self._stats_columns(schema) if schema is not None else []
-        adds: dict[str, list[dict[str, Any]]] = {}
+        files: list[tuple[str, str]] = []
         for bdir in glob.glob(os.path.join(out_dir, "_bucket=*")):
             b = bdir.rsplit("=", 1)[1]
             for fp in glob.glob(os.path.join(bdir, "*.parquet")):
-                rel = os.path.relpath(fp, self.path)
-                entry: dict[str, Any] = {"path": rel, "schema": schema_hash}
-                if kind == "delta":
-                    entry["kind"] = "delta"
-                if stats_cols:
-                    st = file_column_ranges(fp, stats_cols)
-                    if st:
-                        entry["stats"] = st
-                adds.setdefault(b, []).append(entry)
+                files.append((b, fp))
+        ranges = collect_file_ranges([fp for _, fp in files], stats_cols)
+        adds: dict[str, list[dict[str, Any]]] = {}
+        for b, fp in files:
+            rel = os.path.relpath(fp, self.path)
+            entry: dict[str, Any] = {"path": rel, "schema": schema_hash}
+            if kind == "delta":
+                entry["kind"] = "delta"
+            st = ranges.get(fp)
+            if st:
+                entry["stats"] = st
+            adds.setdefault(b, []).append(entry)
         return adds
 
     def _commit(

@@ -202,6 +202,22 @@ def file_column_ranges(fp: str, cols: list[str]) -> dict[str, list]:
     return out
 
 
+def collect_file_ranges(
+    paths: list[str], cols: list[str], max_workers: int = 16
+) -> dict[str, dict[str, list]]:
+    """Parallel :func:`file_column_ranges` over many files (footer reads
+    are IO-bound; the GIL releases inside pyarrow)."""
+    if not paths or not cols:
+        return {}
+    if len(paths) == 1:
+        return {paths[0]: file_column_ranges(paths[0], cols)}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
+        results = ex.map(lambda p: (p, file_column_ranges(p, cols)), paths)
+        return dict(results)
+
+
 def entry_matches_ranges(entry: dict, ranges: dict[str, tuple]) -> bool:
     """True unless the entry's recorded stats PROVE no row can satisfy
     every ``col: (lo, hi)`` bound (either side may be None = unbounded).
@@ -864,22 +880,27 @@ class LakeTable:
             )
         keyed.write.partitionBy("_bucket").parquet(out_dir, mode="overwrite")
         stats_cols = self._stats_columns(schema)
-        buckets: dict[str, list[dict[str, Any]]] = {}
+        files: list[tuple[str, str]] = []
         for bdir in glob.glob(os.path.join(out_dir, "_bucket=*")):
             b = bdir.rsplit("=", 1)[1]
             for fp in glob.glob(os.path.join(bdir, "*.parquet")):
-                rel = os.path.relpath(fp, self.path)
-                entry: dict[str, Any] = {"path": rel, "schema_id": schema_id}
-                if kind == "delta":
-                    entry["kind"] = "delta"
-                # Footer-only metadata read (Iceberg manifest metrics
-                # analog) — lets bounded reads skip files. Best-effort:
-                # a remote store would compute these executor-side at
-                # write time; here the files are local to the driver.
-                st = file_column_ranges(fp, stats_cols)
-                if st:
-                    entry["stats"] = st
-                buckets.setdefault(b, []).append(entry)
+                files.append((b, fp))
+        # Footer-only metadata reads (Iceberg manifest metrics analog) —
+        # let bounded reads skip files. Parallel: a commit can produce
+        # hundreds of files (buckets x salt groups) and a sequential
+        # footer loop measurably taxes the apply hot path; a real
+        # deployment computes these executor-side inside the write tasks.
+        ranges = collect_file_ranges([fp for _, fp in files], stats_cols)
+        buckets: dict[str, list[dict[str, Any]]] = {}
+        for b, fp in files:
+            rel = os.path.relpath(fp, self.path)
+            entry: dict[str, Any] = {"path": rel, "schema_id": schema_id}
+            if kind == "delta":
+                entry["kind"] = "delta"
+            st = ranges.get(fp)
+            if st:
+                entry["stats"] = st
+            buckets.setdefault(b, []).append(entry)
         return buckets
 
     def _write_shard(self, content: dict[str, list[dict[str, Any]]]) -> str:
