@@ -291,9 +291,15 @@ class RelayDaemon:
         """Block until the replica's watermark reaches the source's
         CURRENT version (re-read each poll, so a source that keeps
         committing just extends the target). Raises the daemon's error
-        if it died, or TimeoutError."""
+        if it died, or TimeoutError.
+
+        Polls through PRIVATE handles (re-opened from the given ones) —
+        table objects are not thread-safe, and the daemon thread
+        refreshes its own copies concurrently."""
         import time
 
+        src = type(src)(src.spark, src.path)
+        dst = type(dst)(dst.spark, dst.path)
         stream_id = self._state["stream_id"]
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
@@ -332,18 +338,22 @@ def start_relay(
     relay's own next commit and any other writer). ``on_sync(version)``
     is a test hook called after each committed sync.
 
-    The caller keeps ownership of ``src``/``dst`` handles it passes —
-    the daemon refreshes them, so don't mutate them concurrently from
-    other threads; construct separate handles for concurrent use
-    (object-level methods are not thread-safe; the FORMATS are, via
-    optimistic commits).
+    The daemon works through PRIVATE handles re-opened from the ones
+    passed in (table objects are not thread-safe; the FORMATS are, via
+    optimistic commits) — the caller's handles are never touched, so
+    they stay safe to use on the calling thread.
     """
+    import sys
     import threading
     import time
 
     stream_id = stream_id or _default_stream_id(src)
     stop = threading.Event()
     state: dict = {"rounds": 0, "stream_id": stream_id}
+    # private handles: the daemon thread refreshes/commits through its
+    # own objects, never the caller's
+    src = type(src)(src.spark, src.path)
+    dst = type(dst)(dst.spark, dst.path)
 
     def loop():
         try:
@@ -358,9 +368,19 @@ def start_relay(
                 state["last_version"] = v
                 state["rounds"] += 1
                 if maintenance_max_files > 0:
-                    st = dst.refresh().file_stats()
-                    if st["max_files_per_bucket"] >= maintenance_max_files:
-                        dst.compact(min_files=maintenance_max_files)
+                    # best-effort, like the ingest daemon's maintenance:
+                    # a lost compaction (commit contention next to other
+                    # writers, transient IO) must not kill REPLICATION —
+                    # the next sync retriggers it
+                    try:
+                        st = dst.refresh().file_stats()
+                        if st["max_files_per_bucket"] >= maintenance_max_files:
+                            dst.compact(min_files=maintenance_max_files)
+                    except Exception as e:
+                        print(
+                            f"[relay] maintenance skipped: {e!r}",
+                            file=sys.stderr,
+                        )
                 if on_sync is not None:
                     on_sync(v)
         except BaseException as e:  # surfaced via .error / wait_caught_up

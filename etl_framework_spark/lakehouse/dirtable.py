@@ -70,7 +70,9 @@ from etl_framework_spark.lakehouse.table import (
     bucket_expr,
     collect_file_ranges,
     entry_matches_ranges,
+    fold_deltas,
     merge_schemas,
+    stats_columns_for,
 )
 
 LOG_DIR = "_log"
@@ -362,19 +364,7 @@ class DirTable:
         return out
 
     def _fold(self, df: DataFrame) -> DataFrame:
-        """Merge-on-read fold — same contract as ``LakeTable._fold``:
-        one winner per key, ordered by the table's ``order_columns``
-        (event-time LWW) then commit sequence (key-replace)."""
-        from pyspark.sql import Window
-
-        order = [F.col(c).desc_nulls_last() for c in self.order_columns]
-        order.append(F.col("_seq").desc())
-        w = Window.partitionBy(*self.key_columns).orderBy(*order)
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_seq")
-        )
+        return fold_deltas(df, self.key_columns, self.order_columns)
 
     def read(
         self,
@@ -444,13 +434,7 @@ class DirTable:
         return _schema_hash(merged), merged
 
     def _stats_columns(self, schema: T.StructType) -> list[str]:
-        want = [self.key_columns[0], *self.order_columns, "ts", "_lsn"]
-        have = {f.name for f in schema.fields}
-        out: list[str] = []
-        for c in want:
-            if c in have and c not in out:
-                out.append(c)
-        return out
+        return stats_columns_for(schema, self.key_columns, self.order_columns)
 
     def _write_data(
         self,

@@ -70,7 +70,7 @@ PROP_KEYS = "etl.key_columns"
 PROP_BUCKETS = "etl.n_buckets"
 EPOCH_PREFIX = "etl.epoch."
 
-_CONFLICT_CLASSES = ("CommitFailedException", "ValidationException")
+_CONFLICT_CLASSES = ("CommitFailedException",)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -85,8 +85,15 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def _is_commit_conflict(exc: Exception) -> bool:
+    """Retryable optimistic-commit loss, NOT any validation failure: a
+    deterministic schema/spec ValidationException re-labeled as a
+    conflict would burn the whole commit_with_retry budget re-resolving
+    a batch that can never succeed (the same broad-substring trap the
+    JDBC sink's failure classification was hardened against)."""
     text = str(exc)
-    return any(c in text for c in _CONFLICT_CLASSES)
+    if any(c in text for c in _CONFLICT_CLASSES):
+        return True
+    return "ValidationException" in text and "onflict" in text
 
 
 def _ddl(schema: T.StructType) -> str:
@@ -177,16 +184,20 @@ class IcebergTable:
         ).collect()
         return [r.asDict() for r in rows]
 
-    def _snapshot_id_at(self, version: int) -> int:
+    def _snapshot_id_at(self, version: int) -> int | None:
+        """Dense version -> snapshot id. ``0`` (the creation state,
+        always readable as an empty table) returns None; expired
+        versions raise :class:`VersionExpiredError`; beyond-head raises
+        plain ``ValueError`` — the same contract as the in-repo
+        formats."""
+        if version == 0:
+            return None
         snaps = self._snapshots()
-        if not snaps:
-            raise ValueError(f"{self.identifier} has no snapshots")
-        # version 0 = the creation state (empty table, before snap[0]).
-        # Snapshot expiry drops the OLDEST entries: detect by comparing
-        # the requested dense version with the retained window.
         total = self._total_versions()
         if version > total:
             raise ValueError(f"unknown version {version} at {self.identifier}")
+        # Snapshot expiry drops the OLDEST entries: detect by comparing
+        # the requested dense version with the retained window.
         idx = version - (total - len(snaps)) - 1
         if idx < 0:
             raise VersionExpiredError(
@@ -227,9 +238,15 @@ class IcebergTable:
         return best
 
     def history(self) -> list[dict[str, Any]]:
+        """Retained commits under their DENSE version numbers — after
+        snapshot expiry the labels keep agreeing with ``version`` /
+        ``read(version=...)`` (numbering from the retained count alone
+        would silently renumber history)."""
+        snaps = self._snapshots()
+        offset = self._total_versions() - len(snaps)
         return [
-            {"version": i + 1, "summary": dict(s["summary"] or {})}
-            for i, s in enumerate(self._snapshots())
+            {"version": offset + i + 1, "summary": dict(s["summary"] or {})}
+            for i, s in enumerate(snaps)
         ]
 
     # ------------------------------------------------------------- reads
@@ -247,7 +264,10 @@ class IcebergTable:
     ) -> DataFrame:
         reader = self.spark.read
         if version is not None:
-            reader = reader.option("snapshot-id", self._snapshot_id_at(version))
+            sid = self._snapshot_id_at(version)
+            if sid is None:  # version 0 = creation state: empty table
+                return self.spark.createDataFrame([], self.schema)
+            reader = reader.option("snapshot-id", sid)
         df = reader.table(self.identifier)
         if buckets is not None:
             # becomes partition pruning against bucket(N, key0)
@@ -290,11 +310,19 @@ class IcebergTable:
 
     def changes_between(self, v_from: int, v_to: int) -> DataFrame:
         """Identical-file-list bucket pruning from the ``.files``
-        metadata table, then the shared feed join."""
-        sid_from = self._snapshot_id_at(v_from) if v_from > 0 else None
+        metadata table, then the shared feed join. Falls back to the
+        FULL current-width bucket set whenever a file's partition value
+        is ambiguous (NULL field after a partition-spec evolution /
+        ``rebucket``, or a multi-field spec) — conservative is correct;
+        guessing bucket ids against the wrong spec would silently drop
+        changed keys from the feed."""
+        sid_from = self._snapshot_id_at(v_from)
         sid_to = self._snapshot_id_at(v_to)
+        all_buckets = list(range(self.n_buckets))
+        from etl_framework_spark.lakehouse.feed import diff_versions
 
-        def files_at(sid) -> dict[int, set]:
+        def files_at(sid) -> dict[int, set] | None:
+            """bucket -> file paths, or None when unprunable."""
             if sid is None:
                 return {}
             rows = self.spark.sql(
@@ -304,16 +332,18 @@ class IcebergTable:
             out: dict[int, set] = {}
             for r in rows:
                 part = r["partition"].asDict() if r["partition"] else {}
-                b = next(iter(part.values()), 0) or 0
-                out.setdefault(int(b), set()).add(r["file_path"])
+                vals = [v for v in part.values() if v is not None]
+                if len(part) != 1 or len(vals) != 1:
+                    return None  # evolved/foreign spec: cannot prune
+                out.setdefault(int(vals[0]), set()).add(r["file_path"])
             return out
 
         fa, fb = files_at(sid_from), files_at(sid_to)
+        if fa is None or fb is None:
+            return diff_versions(self, v_from, v_to, all_buckets)
         changed = sorted(
             b for b in set(fa) | set(fb) if fa.get(b) != fb.get(b)
         )
-        from etl_framework_spark.lakehouse.feed import diff_versions
-
         return diff_versions(self, v_from, v_to, changed)
 
     # ------------------------------------------------------------ writes
@@ -358,6 +388,13 @@ class IcebergTable:
         return self.schema
 
     def append(self, df: DataFrame, summary=None, epoch=None) -> int:
+        """Exactly-once caveat (vs the in-repo formats): the epoch
+        guard is a PRE-CHECK — Iceberg appends never conflict with each
+        other, so two appliers racing the SAME epoch can both land.
+        The deployment shape that needs epochs (Structured Streaming
+        ``foreachBatch``) is single-writer per stream by construction;
+        concurrent-applier topologies must route through ``merge``
+        (whose overwrite validation serializes overlapping commits)."""
         if epoch is not None and epoch[1] <= self.last_epoch(epoch[0]):
             return self.version
         schema = self._ensure_schema(df.schema)
@@ -369,7 +406,10 @@ class IcebergTable:
         schema = self._ensure_schema(df.schema)
         w = self._writer(align_to_schema(df, schema), summary, epoch)
         try:
-            w.overwritePartitions()
+            # explicit whole-table condition: overwritePartitions would
+            # keep any partition ABSENT from df (an empty overwrite must
+            # still truncate)
+            w.overwrite(F.lit(True))
         except Exception as e:
             if _is_commit_conflict(e):
                 raise CommitConflict(str(e)) from e
@@ -411,7 +451,18 @@ class IcebergTable:
             epoch,
         )
         try:
-            w.overwritePartitions()
+            # overwrite by EXPLICIT bucket condition, not
+            # overwritePartitions: a touched bucket whose resolved
+            # output is empty (e.g. a relay feed that deletes every key
+            # in it) must still be replaced — dynamic partition
+            # overwrite would leave its old rows live
+            key0 = self.key_columns[0]
+            ids = ", ".join(str(int(b)) for b in touched)
+            w.overwrite(
+                F.expr(f"system.bucket({self.n_buckets}, `{key0}`) IN ({ids})")
+                if touched
+                else F.lit(False)
+            )
         except Exception as e:
             if _is_commit_conflict(e):
                 raise CommitConflict(str(e)) from e
@@ -447,12 +498,16 @@ class IcebergTable:
             f"CALL {self._catalog()}.system.expire_snapshots("
             f"table => '{self.identifier}', retain_last => {int(keep_last)})"
         ).collect()
+        import datetime
+
+        cutoff = (
+            datetime.datetime.now(datetime.timezone.utc)
+            - datetime.timedelta(seconds=int(grace_seconds))
+        ).strftime("%Y-%m-%d %H:%M:%S")
         self.spark.sql(
             f"CALL {self._catalog()}.system.remove_orphan_files("
             f"table => '{self.identifier}', "
-            f"older_than => TIMESTAMP '1970-01-01 00:00:00' + INTERVAL "
-            f"{int(grace_seconds)} SECONDS + (now() - INTERVAL "
-            f"{2 * int(grace_seconds)} SECONDS))"
+            f"older_than => TIMESTAMP '{cutoff}')"
         )
         self.refresh()
         deleted = int(row[0][0]) if row else 0

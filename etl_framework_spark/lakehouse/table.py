@@ -218,6 +218,50 @@ def collect_file_ranges(
         return dict(results)
 
 
+def stats_columns_for(
+    schema: T.StructType, key_columns: list[str], order_columns: list[str]
+) -> list[str]:
+    """Columns whose per-file min/max ranges ride in the manifest: the
+    bucket key plus the event-order columns (what time-travel / feed /
+    GC reads bound on). Shared by every format so both record the same
+    skipping metadata."""
+    want = [key_columns[0], *order_columns, "ts", "_lsn"]
+    have = {f.name for f in schema.fields}
+    out: list[str] = []
+    for c in want:
+        if c in have and c not in out:
+            out.append(c)
+    return out
+
+
+def fold_deltas(
+    df: DataFrame, key_columns: list[str], order_columns: list[str]
+) -> DataFrame:
+    """Merge-on-read fold: one winner per key across base + delta rows
+    (input must carry ``_seq``, the per-file commit sequence).
+
+    Order: the table's event-time ``order_columns`` (LWW — a later
+    delta commit carrying an OLDER event loses to the base row,
+    matching the copy-on-write resolver exactly), then ``_seq`` (the
+    whole order for ``"replace"`` tables, where deltas are state diffs
+    and the newest commit wins). One shuffle on the key; ``compact``
+    collapses deltas so steady-state reads skip the fold entirely.
+
+    SHARED by every table format — the fold order is the read-time
+    correctness contract, and two drifting copies would let the same
+    deltas fold to different states per format."""
+    from pyspark.sql import Window
+
+    order = [F.col(c).desc_nulls_last() for c in order_columns]
+    order.append(F.col("_seq").desc())
+    w = Window.partitionBy(*key_columns).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_seq")
+    )
+
+
 def entry_matches_ranges(entry: dict, ranges: dict[str, tuple]) -> bool:
     """True unless the entry's recorded stats PROVE no row can satisfy
     every ``col: (lo, hi)`` bound (either side may be None = unbounded).
@@ -706,24 +750,7 @@ class LakeTable:
         return out
 
     def _fold(self, df: DataFrame) -> DataFrame:
-        """Merge-on-read fold: one winner per key across base + delta
-        rows. Order: the table's event-time ``order_columns`` (LWW —
-        a later delta commit carrying an OLDER event loses to the base
-        row, matching the copy-on-write resolver exactly), then commit
-        sequence ``_seq`` (the whole order for ``"replace"`` tables,
-        where deltas are state diffs and newest commit wins). One
-        shuffle on the key; ``compact`` collapses deltas so steady-state
-        reads skip the fold entirely."""
-        from pyspark.sql import Window
-
-        order = [F.col(c).desc_nulls_last() for c in self.order_columns]
-        order.append(F.col("_seq").desc())
-        w = Window.partitionBy(*self.key_columns).orderBy(*order)
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_seq")
-        )
+        return fold_deltas(df, self.key_columns, self.order_columns)
 
     def read(
         self,
@@ -833,16 +860,7 @@ class LakeTable:
 
     # ------------------------------------------------------------- writes
     def _stats_columns(self, schema: T.StructType) -> list[str]:
-        """Columns whose per-file min/max ranges ride in the manifest:
-        the bucket key plus the event-order columns (what time-travel /
-        feed / GC reads bound on)."""
-        want = [self.key_columns[0], *self.order_columns, "ts", "_lsn"]
-        have = {f.name for f in schema.fields}
-        out: list[str] = []
-        for c in want:
-            if c in have and c not in out:
-                out.append(c)
-        return out
+        return stats_columns_for(schema, self.key_columns, self.order_columns)
 
     def _write_data(
         self,
