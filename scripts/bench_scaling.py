@@ -112,7 +112,9 @@ def main() -> int:
                        cwd=str(REPO), capture_output=True, text=True)
         results: dict[int, dict] = {}
         for cpus in widths:
-            trials = 3 if cpus <= 4 else 4
+            trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "0")) or (
+                3 if cpus <= 4 else 4
+            )
             r = run_once(cpus, log_dir, os.path.join(tmp, f"t_{cpus}"), buckets, trials)
             results[cpus] = r
             print(f"[scaling] local[{cpus}]: {r['events']} events in "

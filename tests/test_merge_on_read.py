@@ -626,3 +626,44 @@ def test_compact_tombstones_uses_ts_ranges(spark, tmp_path):
     t.refresh()
     assert t.read().count() == 2
     assert _state(t) == {("c1", 0): ("a", 1), ("c3", 0): ("b", 3)}
+
+
+def test_mor_on_sharded_manifest_table(spark, tmp_path):
+    """Delta appends + fold + compact through the SHARDED manifest path
+    (manifest shards rewrite only where touched; delta entries' kind/seq
+    must survive the shard round-trip)."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        schema=TRANSCRIPT_SCHEMA,
+        key_columns=KEY_COLUMNS,
+        n_buckets=8,
+        manifest_shard_size=2,  # 4 shards
+        merge_policy="lww",
+    )
+    assert t.snapshot.sharded
+    full = gen_changes(spark, 2000, seed=31)
+    apply_changes(t, full.where(F.col("lsn") <= 1000), stream_id="s", epoch_id=0)
+    apply_changes(t, full.where(F.col("lsn") > 1000), stream_id="s", epoch_id=1)
+    assert t.file_stats()["delta_files"] > 0
+    got = (
+        t.refresh()
+        .current()
+        .select("conv_id", "turn_idx", "text", "_lsn")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = replay(full.toPandas())[["conv_id", "turn_idx", "text", "_lsn"]]
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+    t.compact(min_files=1)
+    t.refresh()
+    assert t.file_stats()["delta_files"] == 0
+    got2 = (
+        t.current()
+        .select("conv_id", "turn_idx", "text", "_lsn")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, exp.reset_index(drop=True), check_dtype=False)
