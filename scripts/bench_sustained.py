@@ -12,8 +12,16 @@ amplification).
 
 Reports per-epoch seconds, aggregate events/sec, and final table rows.
 
-Usage: python scripts/bench_sustained.py [total_events] [n_batches]
-Writes BENCH/sustained.json.
+``--mor [max_files]`` runs the same stream through a
+``merge_policy="lww"`` merge-on-read table with the ingest daemon's
+stats-driven maintenance loop (compact a bucket once it reaches
+``max_files`` files, default 8) — the production shape for
+delta-dominated ingest. Apply time and compaction time are reported
+separately: apply is the latency-critical path, compaction is the
+amortized background cost a daemon overlaps with the next epoch.
+
+Usage: python scripts/bench_sustained.py [total_events] [n_batches] [--mor [max_files]]
+Writes BENCH/sustained.json (CoW) or BENCH/sustained_mor.json (--mor).
 """
 
 from __future__ import annotations
@@ -39,8 +47,17 @@ from etl_framework_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    total = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000_000
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    argv = list(sys.argv[1:])
+    mor = False
+    max_files = 8
+    if "--mor" in argv:
+        i = argv.index("--mor")
+        argv.pop(i)
+        if i < len(argv) and argv[i].isdigit():
+            max_files = int(argv.pop(i))
+        mor = True
+    total = int(argv[0]) if len(argv) > 0 else 1_000_000_000
+    n_batches = int(argv[1]) if len(argv) > 1 else 10
     per = total // n_batches
     spark = get_spark(app_name="bench-sustained")
 
@@ -52,8 +69,10 @@ def main() -> int:
         schema=T.StructType(stored),
         key_columns=KEY_COLUMNS,
         n_buckets=64,
+        merge_policy="lww" if mor else None,
     )
     epochs = []
+    compactions = []  # (epoch, seconds, max_files_before)
     t_all = time.perf_counter()
     try:
         for b in range(n_batches):
@@ -77,9 +96,32 @@ def main() -> int:
                 file=sys.stderr,
                 flush=True,
             )
+            if mor:
+                # the ingest daemon's stats-driven maintenance: compact
+                # only once a bucket's file count reaches the threshold,
+                # so cold buckets are never churned (metadata-only check).
+                st = table.file_stats()
+                if st["max_files_per_bucket"] >= max_files:
+                    t0 = time.perf_counter()
+                    table.compact(min_files=max_files)
+                    cdt = time.perf_counter() - t0
+                    compactions.append(
+                        {
+                            "epoch": b,
+                            "seconds": round(cdt, 2),
+                            "max_files_before": st["max_files_per_bucket"],
+                        }
+                    )
+                    print(
+                        f"[sustained] compact after epoch {b}: {cdt:.1f}s "
+                        f"(max files/bucket was {st['max_files_per_bucket']})",
+                        file=sys.stderr,
+                        flush=True,
+                    )
         wall = time.perf_counter() - t_all
         table.refresh()
         out = {
+            "mode": "mor" if mor else "cow",
             "total_events": per * n_batches,
             "n_batches": n_batches,
             "batch_events": per,
@@ -90,8 +132,15 @@ def main() -> int:
             "final_version": table.version,
             "file_stats": table.file_stats(),
         }
+        if mor:
+            out["maintenance_max_files"] = max_files
+            out["compactions"] = compactions
+            out["compaction_seconds_total"] = round(
+                sum(c["seconds"] for c in compactions), 1
+            )
         print(json.dumps(out))
-        (REPO / "BENCH" / "sustained.json").write_text(json.dumps(out, indent=1))
+        name = "sustained_mor.json" if mor else "sustained.json"
+        (REPO / "BENCH" / name).write_text(json.dumps(out, indent=1))
         return 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
