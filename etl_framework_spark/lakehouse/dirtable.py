@@ -125,7 +125,15 @@ class _State:
             self.n_buckets = int(commit["n_buckets"])
         self.version = int(commit["version"])
         self.history.append(
-            {"version": self.version, "summary": commit.get("summary", {})}
+            {
+                "version": self.version,
+                "summary": commit.get("summary", {}),
+                # unique commit identity — lets a writer racing an
+                # expire distinguish "my commit was folded into the
+                # checkpoint" from "my version number was expired and
+                # reused" (see the _commit TOCTOU guard)
+                "id": commit.get("id"),
+            }
         )
 
     @property
@@ -495,6 +503,11 @@ class DirTable:
     ) -> int | None:
         summary = {k: (v() if callable(v) else v) for k, v in summary.items()}
         log = os.path.join(self.path, LOG_DIR)
+        # one identity across retries: if an attempt's link LANDED but a
+        # concurrent expire folded it into a checkpoint before our
+        # post-link read, the checkpoint's history carries this id and
+        # the guard below returns success instead of double-committing
+        commit_id = uuid.uuid4().hex
         for _ in range(max_retries):
             self.refresh()
             if expect_version is not None and self._state.version != expect_version:
@@ -511,11 +524,14 @@ class DirTable:
                 # in-loop ledger check keeps concurrent same-epoch
                 # appliers exactly-once (see LakeTable._commit)
                 return None
-            # stamp merge-on-read delta entries with the fold sequence
-            # this attempt will publish (re-stamped per retry)
-            for fs in adds.values():
-                for e in fs:
-                    if e.get("kind") == "delta":
+            # stamp EVERY entry of a merge-on-read table with the fold
+            # sequence this attempt will publish (re-stamped per retry).
+            # Base entries too: a blind append() landing after a delta
+            # commit must outrank it in a "replace" fold — unstamped
+            # base entries fold at seq 0 and lose to any older delta.
+            if self.merge_policy:
+                for fs in adds.values():
+                    for e in fs:
                         e["seq"] = self._state.version + 1
             adds_now, replaced_now = adds, list(replaced or [])
             if expected is not None:
@@ -544,6 +560,7 @@ class DirTable:
                 "mode": mode,
                 "adds": adds_now,
                 "summary": summary,
+                "id": commit_id,
             }
             if n_buckets:
                 commit["n_buckets"] = int(n_buckets)
@@ -572,9 +589,30 @@ class DirTable:
             # re-seed from the newest checkpoint). expire_snapshots
             # writes its checkpoint BEFORE deleting logs, so if our link
             # only succeeded because the file was expired, that newer
-            # checkpoint is already on disk: verify and retry.
+            # checkpoint is already on disk. A checkpoint at/above our
+            # version is AMBIGUOUS, though: it may instead have folded
+            # our just-linked commit (link landed, then an expirer with a
+            # small keep_last checkpointed it before this read). The
+            # checkpoint's history carries each folded commit's id, so
+            # check which case this is — blindly retrying the folded
+            # case would re-apply the same adds (double-commit).
             newest_ck = self._load_checkpoint()
             if newest_ck is not None and newest_ck.version >= int(commit["version"]):
+                folded = next(
+                    (
+                        h
+                        for h in newest_ck.history
+                        if int(h.get("version", -1)) == int(commit["version"])
+                    ),
+                    None,
+                )
+                if folded is not None and folded.get("id") == commit_id:
+                    # our commit IS in the checkpoint lineage: durable.
+                    # (the redundant log file <= checkpoint is ignored by
+                    # readers and GC'd by the next expire)
+                    self._ckpt, self._commits = None, []
+                    self.refresh()
+                    return int(commit["version"])
                 try:
                     os.unlink(final)
                 except FileNotFoundError:

@@ -104,6 +104,46 @@ def _ddl(schema: T.StructType) -> str:
     return ", ".join(cols)
 
 
+def lineage_order(snaps: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Re-order ``.snapshots`` rows (pre-sorted by ``committed_at,
+    snapshot_id``) along the parent-id chain when it is complete and
+    linear. Two commits can land in the same millisecond and snapshot
+    ids are random, so the timestamp sort alone can place a child
+    BEFORE its parent — inverting dense-version mapping and change
+    feeds. Timestamp order stays the fallback for gapped (expired
+    parents are normal: the oldest retained snapshot's parent is gone)
+    or branched histories where no single complete chain exists."""
+    by_id = {int(s["snapshot_id"]): s for s in snaps}
+    child_of: dict[int | None, list[dict[str, Any]]] = {}
+    for s in snaps:
+        p = s.get("parent_id")
+        p = int(p) if p is not None and int(p) in by_id else None
+        child_of.setdefault(p, []).append(s)
+    chain: list[dict[str, Any]] = []
+    cur = child_of.get(None, [])
+    while len(cur) == 1:
+        chain.append(cur[0])
+        cur = child_of.get(int(cur[0]["snapshot_id"]), [])
+    if len(chain) == len(snaps) and not cur:
+        return chain
+    return snaps
+
+
+def dense_total(snaps: list[dict[str, Any]]) -> int:
+    """Dense version of the newest snapshot: the newest retained
+    ``etl.version`` summary property plus the count of FOREIGN
+    snapshots after it (``rewrite_data_files`` etc. commit without
+    adapter properties). Anchoring on the retained count alone would
+    renumber the lineage after snapshot expiry + a foreign commit."""
+    for i in range(len(snaps) - 1, -1, -1):
+        summ = snaps[i]["summary"] or {}
+        if "etl.version" in summ:
+            return int(summ["etl.version"]) + (len(snaps) - 1 - i)
+    # no adapter commit retained (all-foreign or empty history): the
+    # retained count is the only anchor left
+    return len(snaps)
+
+
 class IcebergTable:
     """``KeyedTable`` over ``catalog.namespace.table``. Requires the
     Iceberg Spark runtime (see module docstring); gate call sites with
@@ -131,6 +171,10 @@ class IcebergTable:
             )
         self.key_columns = props[PROP_KEYS].split(",")
         self.n_buckets = int(props[PROP_BUCKETS])
+        #: memoized .snapshots rows; refresh() invalidates. One relay
+        #: sync otherwise re-collects the snapshot metadata ~6 times
+        #: (version/_snapshot_id_at/last_epoch all walk the same rows).
+        self._snaps_cache: list[dict[str, Any]] | None = None
 
     # ------------------------------------------------------------ create
     @classmethod
@@ -173,16 +217,28 @@ class IcebergTable:
     # -------------------------------------------------------------- meta
     def refresh(self) -> "IcebergTable":
         self.spark.catalog.refreshTable(self.identifier)
+        self._snaps_cache = None
         return self
 
     def _snapshots(self) -> list[dict[str, Any]]:
         """Snapshot history ordered oldest-first — the dense-version
-        translation table. One metadata read, no data IO."""
+        translation table. One metadata read, no data IO; memoized
+        until ``refresh()`` (same explicit-refresh visibility contract
+        as the in-repo formats).
+
+        Ordering: the parent-id chain when it is complete and linear
+        (two commits can land in the same millisecond, and snapshot ids
+        are random — ``committed_at, snapshot_id`` can then order a
+        child BEFORE its parent, inverting change feeds); timestamp
+        order is only the fallback for gapped/branched histories."""
+        if self._snaps_cache is not None:
+            return self._snaps_cache
         rows = self.spark.sql(
-            f"SELECT snapshot_id, committed_at, summary FROM "
+            f"SELECT snapshot_id, parent_id, committed_at, summary FROM "
             f"{self.identifier}.snapshots ORDER BY committed_at, snapshot_id"
         ).collect()
-        return [r.asDict() for r in rows]
+        self._snaps_cache = lineage_order([r.asDict() for r in rows])
+        return self._snaps_cache
 
     def _snapshot_id_at(self, version: int) -> int | None:
         """Dense version -> snapshot id. ``0`` (the creation state,
@@ -207,18 +263,16 @@ class IcebergTable:
         return int(snaps[idx]["snapshot_id"])
 
     def _total_versions(self) -> int:
-        """Dense version of the CURRENT snapshot = total commits ever.
-        Iceberg's history table keeps lineage over expiry via
-        ``t.history`` (parent ids); we count via the summary property
-        the adapter writes on every commit, falling back to the
-        retained snapshot count for foreign commits."""
-        snaps = self._snapshots()
-        if not snaps:
-            return 0
-        last = snaps[-1]["summary"] or {}
-        if "etl.version" in last:
-            return int(last["etl.version"])
-        return len(snaps)
+        """Dense version of the CURRENT snapshot = total commits ever,
+        via the summary property the adapter writes on every commit.
+        FOREIGN snapshots (e.g. ``rewrite_data_files`` from ``compact``)
+        carry no ``etl.version``, so scan back to the newest adapter
+        commit and count the foreign tail on top — anchoring on the
+        retained count alone would renumber the lineage after any
+        snapshot expiry followed by a foreign commit (reusing dense
+        versions that named other snapshots, silently stalling relay
+        watermarks)."""
+        return dense_total(self._snapshots())
 
     @property
     def version(self) -> int:
@@ -274,12 +328,22 @@ class IcebergTable:
             df = df.where(self._bucket_col().isin([int(b) for b in buckets]))
         if ranges:
             # Iceberg prunes files from ITS manifest metrics when the
-            # bound is a plain predicate — no adapter-side stats needed
+            # bound is a plain predicate — no adapter-side stats needed.
+            # NULLs must PASS: the protocol contract is pruning only
+            # (the caller still applies its row filter), and the in-repo
+            # formats keep rows whose bounded column is NULL (a file
+            # without matching stats always survives the prune) — e.g.
+            # relay delete tombstones carry NULL order columns. Iceberg
+            # still file-prunes via its null-count metrics.
             for c, (lo, hi) in ranges.items():
+                bounds = None
                 if lo is not None:
-                    df = df.where(F.col(c) >= F.lit(lo))
+                    bounds = F.col(c) >= F.lit(lo)
                 if hi is not None:
-                    df = df.where(F.col(c) <= F.lit(hi))
+                    upper = F.col(c) <= F.lit(hi)
+                    bounds = upper if bounds is None else (bounds & upper)
+                if bounds is not None:
+                    df = df.where(F.col(c).isNull() | bounds)
         return df
 
     def current(
@@ -395,6 +459,7 @@ class IcebergTable:
         ``foreachBatch``) is single-writer per stream by construction;
         concurrent-applier topologies must route through ``merge``
         (whose overwrite validation serializes overlapping commits)."""
+        self.refresh()  # epoch pre-check + etl.version stamp need HEAD
         if epoch is not None and epoch[1] <= self.last_epoch(epoch[0]):
             return self.version
         schema = self._ensure_schema(df.schema)
@@ -403,6 +468,7 @@ class IcebergTable:
         return self.version
 
     def overwrite(self, df: DataFrame, summary=None, epoch=None) -> int:
+        self.refresh()  # fresh head for the etl.version stamp
         schema = self._ensure_schema(df.schema)
         w = self._writer(align_to_schema(df, schema), summary, epoch)
         try:
@@ -437,6 +503,7 @@ class IcebergTable:
                 "IcebergTable does not emulate merge-on-read; use Iceberg's "
                 "native MERGE INTO (v2 deletes) for that path"
             )
+        self.refresh()  # epoch pre-check + etl.version stamp need HEAD
         if epoch is not None and epoch[1] <= self.last_epoch(epoch[0]):
             return None
         schema = self._ensure_schema(evolve_schema or source.schema)

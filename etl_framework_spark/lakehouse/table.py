@@ -999,12 +999,16 @@ class LakeTable:
             new_epochs = dict(snap.epochs)
             if epoch is not None:
                 new_epochs[epoch[0]] = max(int(new_epochs.get(epoch[0], -1)), epoch[1])
-            # Merge-on-read delta entries fold by commit sequence — stamp
-            # them with the version this attempt will publish (re-stamped
-            # on retry; the dicts are shared with ``delta``).
-            for fs in delta.entries.values():
-                for e in fs:
-                    if e.get("kind") == "delta":
+            # Merge-on-read tables fold by commit sequence — stamp EVERY
+            # entry with the version this attempt will publish
+            # (re-stamped on retry; the dicts are shared with ``delta``).
+            # Base entries need the stamp too: a blind append() landing
+            # AFTER a delta commit must outrank it in a "replace" fold,
+            # and an unstamped base entry would fold at seq 0 and lose
+            # to any older delta (round-5 review finding).
+            if self.merge_policy:
+                for fs in delta.entries.values():
+                    for e in fs:
                         e["seq"] = snap.version + 1
             new: dict[str, Any] = {
                 "version": snap.version + 1,

@@ -248,11 +248,19 @@ def _is_missing_table_error(ex: Exception) -> bool:
     anything ambiguous (connection drop, lock timeout, permission) is
     False so callers fail loudly instead of treating a live target as
     absent (which would route an UPDATE load to a destructive
-    overwrite). SQLState is authoritative when present; message
-    substrings are the fallback for drivers without one."""
+    overwrite). SQLState decides when it can: a recognized state is an
+    immediate yes; a state outside the syntax/access class 42 (08xxx
+    connection, 28xxx auth, ...) is an authoritative no even when the
+    message pattern-matches. Only an UNRECOGNIZED 42-class state falls
+    through to the message check — oracle folds ORA-00942 "table or
+    view does not exist" into generic 42000 alongside real syntax
+    errors, so 42000 alone proves nothing either way."""
     state = _sqlstate_of(ex)
     if state is not None:
-        return state in _MISSING_TABLE_SQLSTATES
+        if state in _MISSING_TABLE_SQLSTATES:
+            return True
+        if not state.startswith("42"):
+            return False
     msg = str(ex).lower()
     if any(pat in msg for pat in _MISSING_TABLE_PATTERNS):
         return True

@@ -156,3 +156,45 @@ def test_commit_cannot_publish_below_a_checkpoint(spark, tmp_path):
     assert fresh.version >= 9
     # and the bogus below-checkpoint log file was retracted
     assert not os.path.isfile(os.path.join(path, "_log", "v%012d.json" % 4))
+
+
+def test_commit_folded_by_concurrent_expire_is_not_retried(spark, tmp_path):
+    """The other arm of the TOCTOU window (round-5 review): the writer's
+    os.link LANDS, then a concurrent expirer with a small keep_last
+    folds that fresh commit into a checkpoint before the writer's
+    post-link read. The guard sees a checkpoint at/above its version —
+    the same signal as the expired-number case — and pre-fix would
+    unlink + retry, re-applying the same adds (a duplicate row, an
+    exactly-once violation). The checkpoint's per-commit ids let the
+    writer recognize its own folded commit and return success."""
+    path = str(tmp_path / "t")
+    a = _make(spark, path, 3)  # a at v3
+    assert a.version == 3
+
+    fired = {"done": False}
+    real_link = os.link
+
+    def hostile_link(src, dst, *a_, **kw):
+        real_link(src, dst, *a_, **kw)
+        if not fired["done"] and dst.endswith("v%012d.json" % 4):
+            # a's v4 just landed; fold it into a checkpoint (and delete
+            # its log file) before a's post-link verification runs
+            fired["done"] = True
+            b = DirTable(spark, path)
+            b.expire_snapshots(keep_last=1, grace_seconds=3600)  # ckpt v4
+
+    import etl_framework_spark.lakehouse.dirtable as dt_mod
+
+    orig = dt_mod.os.link
+    dt_mod.os.link = hostile_link
+    try:
+        v = a.append(_df(spark, [(999, "folded-row")]))
+    finally:
+        dt_mod.os.link = orig
+
+    assert fired["done"], "hostile expire never ran; race not exercised"
+    assert v == 4  # success at the linked version, not a retried v5
+    fresh = DirTable(spark, path)
+    assert fresh.version == 4
+    rows = [r for r in fresh.current().collect() if r["id"] == 999]
+    assert len(rows) == 1, f"double-commit: {rows}"

@@ -361,6 +361,15 @@ def test_missing_table_classifier_prefers_sqlstate():
     assert not _is_missing_table_error(
         FakeWrapped('relation "tgt" does not exist', "08006")
     )
+    # oracle folds ORA-00942 into generic 42000 — an unrecognized
+    # 42-class state must fall through to the noun-gated message check
+    # (round-5 review), in BOTH directions
+    assert _is_missing_table_error(
+        FakeWrapped("ORA-00942: table or view does not exist", "42000")
+    )
+    assert not _is_missing_table_error(
+        FakeWrapped("ORA-00904: invalid identifier", "42000")
+    )
 
 
 def test_missing_table_classifier_rejects_non_table_absence():

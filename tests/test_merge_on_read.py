@@ -667,3 +667,32 @@ def test_mor_on_sharded_manifest_table(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got2, exp.reset_index(drop=True), check_dtype=False)
+
+
+def test_append_after_delta_wins_replace_fold(spark, tmp_path, impl):
+    """A blind append() landing AFTER a delta commit on a "replace"
+    table must outrank that delta at read time (round-5 review): base
+    entries carry their commit version as fold sequence. Pre-fix they
+    folded at seq 0 and the older delta's row silently shadowed the
+    newer appended row until a compact."""
+    t = _mk(impl, spark, tmp_path / "t", policy="replace", n_buckets=4)
+
+    def src_rows(text):
+        return spark.createDataFrame(
+            [("c1", 0, "user", text, None, _ts(1))], TRANSCRIPT_SCHEMA
+        )
+
+    # delta commit sets c1/0 = "old"
+    t.merge(src_rows("old"), lambda tgt, src: src)
+    t.refresh()
+    assert t.file_stats()["delta_files"] > 0
+    # later blind append corrects it
+    t.append(src_rows("corrected"))
+    t.refresh()
+    rows = t.current().collect()
+    assert len(rows) == 1 and rows[0].text == "corrected"
+    # and the ordering survives compaction
+    t.compact(min_files=1)
+    t.refresh()
+    rows = t.current().collect()
+    assert len(rows) == 1 and rows[0].text == "corrected"
