@@ -69,9 +69,9 @@ from etl_framework_spark.lakehouse.table import (
     align_to_schema,
     bucket_expr,
     collect_file_ranges,
-    entry_matches_ranges,
     fold_deltas,
     merge_schemas,
+    split_fold_entries,
     stats_columns_for,
 )
 
@@ -381,24 +381,29 @@ class DirTable:
         ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Snapshot scan; same ``ranges`` file-skipping and
-        merge-on-read fold contract as ``LakeTable.read``."""
+        merge-on-read fold contract as ``LakeTable.read`` — including
+        the per-bucket fold scope (:func:`split_fold_entries`): only
+        delta-holding buckets pay the union+window, clean buckets are
+        served base-only with pruning intact."""
         state = self._state if version is None else self._state_at(version)
         live = (
             state.live
             if buckets is None
             else {str(b): state.live.get(str(b), []) for b in buckets}
         )
-        entries: list[dict[str, Any]] = []
-        for fs in live.values():
-            entries.extend(fs)
-        fold = any(e.get("kind") == "delta" for e in entries)
-        if ranges and not fold:
-            entries = [e for e in entries if entry_matches_ranges(e, ranges)]
+        clean, folded = split_fold_entries(live, ranges)
         current = state.current_schema
-        df = self._read_files(entries, state.schemas, current, with_seq=fold)
-        if df is None:
+        base = self._read_files(clean, state.schemas, current)
+        delta = self._read_files(folded, state.schemas, current, with_seq=True)
+        if delta is not None:
+            delta = self._fold(delta)
+        if base is None and delta is None:
             return self.spark.createDataFrame([], current)
-        return self._fold(df) if fold else df
+        if base is None:
+            return delta
+        if delta is None:
+            return base
+        return base.unionByName(delta)
 
     def current(
         self,
@@ -716,6 +721,7 @@ class DirTable:
             "max_files_per_bucket": max(counts.values(), default=0),
             "delta_files": sum(delta_counts.values()),
             "max_delta_files_per_bucket": max(delta_counts.values(), default=0),
+            "delta_buckets": sum(1 for v in delta_counts.values() if v > 0),
         }
 
     def rebucket(self, n_buckets: int, summary: dict[str, Any] | None = None) -> int:

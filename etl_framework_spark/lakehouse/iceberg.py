@@ -592,6 +592,7 @@ class IcebergTable:
             "max_files_per_bucket": max(counts, default=0),
             "delta_files": 0,
             "max_delta_files_per_bucket": 0,
+            "delta_buckets": 0,
         }
 
     def rebucket(self, n_buckets: int, summary=None) -> int:

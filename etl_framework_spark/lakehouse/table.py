@@ -262,6 +262,39 @@ def fold_deltas(
     )
 
 
+def split_fold_entries(
+    bucket_map: dict, ranges: dict[str, tuple] | None = None
+) -> tuple[list[dict], list[dict]]:
+    """Partition a bucket→entries map for the merge-on-read read path:
+    returns ``(clean, folded)`` entry lists. A bucket pays the fold only
+    if IT holds unfolded delta entries; delta-free buckets are served
+    base-only — and keep ``ranges`` file-skipping, which must stay
+    disabled inside delta-holding buckets (dropping a file there could
+    promote a superseded row version to fold winner). Sound because a
+    key's rows never cross buckets within one snapshot (``bucket_expr``
+    is a pure function of the key under that snapshot's layout width),
+    so the per-bucket folds are independent and a clean bucket's fold is
+    the identity.
+
+    This is the read-side mirror of the O(batch) delta write: at 100 TB
+    a small epoch touches a handful of buckets, and only THOSE buckets'
+    rows may enter the fold window — not the whole table.
+
+    SHARED by every format, like :func:`fold_deltas`: two drifting
+    copies of the fold-scope rule would let the same snapshot read
+    differently per format."""
+    clean: list[dict] = []
+    folded: list[dict] = []
+    for files in bucket_map.values():
+        if any(e.get("kind") == "delta" for e in files):
+            folded.extend(files)
+        elif ranges:
+            clean.extend(e for e in files if entry_matches_ranges(e, ranges))
+        else:
+            clean.extend(files)
+    return clean, folded
+
+
 def entry_matches_ranges(entry: dict, ranges: dict[str, tuple]) -> bool:
     """True unless the entry's recorded stats PROVE no row can satisfy
     every ``col: (lo, hi)`` bound (either side may be None = unbounded).
@@ -767,23 +800,27 @@ class LakeTable:
         None): files whose recorded min/max stats prove no row matches
         are skipped entirely (Iceberg metrics-based file skipping). The
         bounds only PRUNE — the caller still applies its row filter.
-        Pruning is disabled when the selected buckets contain unfolded
+        Pruning is disabled per-bucket while that bucket holds unfolded
         merge-on-read deltas: dropping a file there could promote a
         superseded row version to fold winner, changing results, not
-        just cost."""
+        just cost. Likewise the fold itself is scoped to delta-holding
+        buckets (:func:`split_fold_entries`) — a small delta must not
+        drag every clean bucket through the union+window."""
         snap = self.snapshot if version is None else self.snapshot_at(version)
         # bucket selection loads only the covering manifest shards
         bmap = snap.buckets if buckets is None else snap.buckets_for(buckets)
-        entries: list[dict[str, Any]] = []
-        for files in bmap.values():
-            entries.extend(files)
-        fold = any(e.get("kind") == "delta" for e in entries)
-        if ranges and not fold:
-            entries = [e for e in entries if entry_matches_ranges(e, ranges)]
-        df = self._read_files(entries, with_seq=fold)
-        if df is None:
+        clean, folded = split_fold_entries(bmap, ranges)
+        base = self._read_files(clean)
+        delta = self._read_files(folded, with_seq=True)
+        if delta is not None:
+            delta = self._fold(delta)
+        if base is None and delta is None:
             return self.spark.createDataFrame([], self.schema)
-        return self._fold(df) if fold else df
+        if base is None:
+            return delta
+        if delta is None:
+            return base
+        return base.unionByName(delta)
 
     def current(
         self,
@@ -1297,6 +1334,7 @@ class LakeTable:
             "max_files_per_bucket": max(counts.values(), default=0),
             "delta_files": sum(delta_counts.values()),
             "max_delta_files_per_bucket": max(delta_counts.values(), default=0),
+            "delta_buckets": sum(1 for v in delta_counts.values() if v > 0),
         }
 
     def compact(

@@ -605,6 +605,53 @@ def test_range_pruning_disabled_over_unfolded_deltas(spark, tmp_path, impl):
     assert t.read(ranges={"_lsn": (None, 50)}).count() == 0
 
 
+def test_fold_scoped_to_delta_buckets(spark, tmp_path, impl):
+    """A small delta in one bucket must not drag clean buckets through
+    the fold (`split_fold_entries`): the full read still matches the
+    replay oracle, and clean buckets KEEP range-based file skipping
+    while deltas are unfolded elsewhere — only the delta-holding
+    bucket's files are exempt from pruning."""
+    t = _mk(impl, spark, tmp_path / "t", policy="lww", n_buckets=8)
+    base = gen_changes(spark, 4000, seed=7)
+    base_pdf = base.toPandas()
+    apply_changes(t, base, stream_id="s", epoch_id=0)
+    t.refresh()
+    t.compact(min_files=1)
+    t.refresh()
+    assert t.file_stats()["delta_files"] == 0
+    delta_rows = [("U", 10_000, _ts(10_000), "conv-x", 0, "user", "winner", None)]
+    apply_changes(t, _ch(spark, delta_rows), stream_id="s", epoch_id=1)
+    t.refresh()
+    assert t.file_stats()["delta_files"] > 0
+
+    # correctness through the split read: fold bucket + clean buckets
+    # union to exactly the replay-oracle state
+    full_pdf = pd.concat(
+        [base_pdf, pd.DataFrame(delta_rows, columns=base_pdf.columns)],
+        ignore_index=True,
+    )
+    got = (
+        t.current()
+        .select("conv_id", "turn_idx", "text", "_lsn")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = replay(full_pdf)[["conv_id", "turn_idx", "text", "_lsn"]]
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+    # pruning stays LIVE in clean buckets: a bound no base row can
+    # satisfy skips every clean-bucket file, yet the delta bucket is
+    # read un-pruned and its fold winner survives
+    all_files = set(t.read().inputFiles())
+    pruned_df = t.read(ranges={"_lsn": (None, 0)})
+    pruned_files = set(pruned_df.inputFiles())
+    assert pruned_files < all_files, "clean-bucket files must be skipped"
+    rows = pruned_df.collect()
+    assert ("winner", 10_000) in {(r.text, r._lsn) for r in rows}
+    assert len(rows) < t.read().count()
+
+
 def test_compact_tombstones_uses_ts_ranges(spark, tmp_path):
     t = _mk(LakeTable, spark, tmp_path / "t", policy=None, n_buckets=2)
     apply_changes(
