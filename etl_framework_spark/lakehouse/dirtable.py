@@ -71,7 +71,7 @@ from etl_framework_spark.lakehouse.table import (
     collect_file_ranges,
     fold_deltas,
     merge_schemas,
-    split_fold_entries,
+    scoped_fold_read,
     stats_columns_for,
 )
 
@@ -383,27 +383,27 @@ class DirTable:
         """Snapshot scan; same ``ranges`` file-skipping and
         merge-on-read fold contract as ``LakeTable.read`` — including
         the per-bucket fold scope (:func:`split_fold_entries`): only
-        delta-holding buckets pay the union+window, clean buckets are
-        served base-only with pruning intact."""
+        buckets needing the fold (deltas, or base entries from multiple
+        commits) pay the union+window, clean buckets are served
+        base-only with pruning intact."""
         state = self._state if version is None else self._state_at(version)
         live = (
             state.live
             if buckets is None
             else {str(b): state.live.get(str(b), []) for b in buckets}
         )
-        clean, folded = split_fold_entries(live, ranges)
         current = state.current_schema
-        base = self._read_files(clean, state.schemas, current)
-        delta = self._read_files(folded, state.schemas, current, with_seq=True)
-        if delta is not None:
-            delta = self._fold(delta)
-        if base is None and delta is None:
+        df = scoped_fold_read(
+            live,
+            ranges,
+            lambda entries, with_seq: self._read_files(
+                entries, state.schemas, current, with_seq=with_seq
+            ),
+            self._fold,
+        )
+        if df is None:
             return self.spark.createDataFrame([], current)
-        if base is None:
-            return delta
-        if delta is None:
-            return base
-        return base.unionByName(delta)
+        return df
 
     def current(
         self,

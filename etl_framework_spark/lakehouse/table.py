@@ -249,10 +249,19 @@ def fold_deltas(
 
     SHARED by every table format — the fold order is the read-time
     correctness contract, and two drifting copies would let the same
-    deltas fold to different states per format."""
+    deltas fold to different states per format.
+
+    Order columns missing from the current schema are skipped: a column
+    no row ever carried cannot order anything, and the default "lww"
+    order includes ``_lsn`` which a table created on a bare event
+    schema only gains via later evolution (at which point it joins the
+    order — until then the fold must not fail the whole read)."""
     from pyspark.sql import Window
 
-    order = [F.col(c).desc_nulls_last() for c in order_columns]
+    present = set(df.columns)
+    order = [
+        F.col(c).desc_nulls_last() for c in order_columns if c in present
+    ]
     order.append(F.col("_seq").desc())
     w = Window.partitionBy(*key_columns).orderBy(*order)
     return (
@@ -266,15 +275,20 @@ def split_fold_entries(
     bucket_map: dict, ranges: dict[str, tuple] | None = None
 ) -> tuple[list[dict], list[dict]]:
     """Partition a bucket→entries map for the merge-on-read read path:
-    returns ``(clean, folded)`` entry lists. A bucket pays the fold only
-    if IT holds unfolded delta entries; delta-free buckets are served
-    base-only — and keep ``ranges`` file-skipping, which must stay
-    disabled inside delta-holding buckets (dropping a file there could
-    promote a superseded row version to fold winner). Sound because a
-    key's rows never cross buckets within one snapshot (``bucket_expr``
-    is a pure function of the key under that snapshot's layout width),
-    so the per-bucket folds are independent and a clean bucket's fold is
-    the identity.
+    returns ``(clean, folded)`` entry lists. A bucket pays the fold iff
+    it holds unfolded delta entries OR base entries from more than one
+    fold sequence — on a merge-policy table every entry carries its
+    commit version as ``seq``, and cross-commit duplicates of a key can
+    only exist across distinct sequences (a blind ``append()`` after a
+    compact must still outrank older rows at read time, even when no
+    delta file remains to trigger the fold). Single-sequence, delta-free
+    buckets are served base-only — and keep ``ranges`` file-skipping,
+    which must stay disabled inside fold buckets (dropping a file there
+    could promote a superseded row version to fold winner). Sound
+    because a key's rows never cross buckets within one snapshot
+    (``bucket_expr`` is a pure function of the key under that snapshot's
+    layout width), so the per-bucket folds are independent and a clean
+    bucket's fold is the identity.
 
     This is the read-side mirror of the O(batch) delta write: at 100 TB
     a small epoch touches a handful of buckets, and only THOSE buckets'
@@ -286,13 +300,40 @@ def split_fold_entries(
     clean: list[dict] = []
     folded: list[dict] = []
     for files in bucket_map.values():
-        if any(e.get("kind") == "delta" for e in files):
+        if any(e.get("kind") == "delta" for e in files) or (
+            len({int(e.get("seq", 0)) for e in files}) > 1
+        ):
             folded.extend(files)
         elif ranges:
             clean.extend(e for e in files if entry_matches_ranges(e, ranges))
         else:
             clean.extend(files)
     return clean, folded
+
+
+def scoped_fold_read(
+    bucket_map: dict,
+    ranges: dict[str, tuple] | None,
+    read_files,
+    fold,
+) -> "DataFrame | None":
+    """The shared read-combine step over :func:`split_fold_entries`:
+    base-only scan of clean buckets unioned with the fold of delta
+    buckets. ``read_files(entries, with_seq)`` and ``fold(df)`` are the
+    format's own readers; returns None when the selection is empty.
+    Shared for the same reason as the split itself — a drifting copy of
+    the union/None handling would let the same snapshot read
+    differently per format."""
+    clean, folded = split_fold_entries(bucket_map, ranges)
+    base = read_files(clean, False)
+    delta = read_files(folded, True)
+    if delta is not None:
+        delta = fold(delta)
+    if base is None:
+        return delta
+    if delta is None:
+        return base
+    return base.unionByName(delta)
 
 
 def entry_matches_ranges(entry: dict, ranges: dict[str, tuple]) -> bool:
@@ -800,27 +841,25 @@ class LakeTable:
         None): files whose recorded min/max stats prove no row matches
         are skipped entirely (Iceberg metrics-based file skipping). The
         bounds only PRUNE — the caller still applies its row filter.
-        Pruning is disabled per-bucket while that bucket holds unfolded
-        merge-on-read deltas: dropping a file there could promote a
+        Pruning is disabled per-bucket while that bucket needs the
+        merge-on-read fold (unfolded deltas, or base entries from
+        multiple commits): dropping a file there could promote a
         superseded row version to fold winner, changing results, not
-        just cost. Likewise the fold itself is scoped to delta-holding
-        buckets (:func:`split_fold_entries`) — a small delta must not
-        drag every clean bucket through the union+window."""
+        just cost. Likewise the fold itself is scoped to those buckets
+        (:func:`split_fold_entries`) — a small delta must not drag
+        every clean bucket through the union+window."""
         snap = self.snapshot if version is None else self.snapshot_at(version)
         # bucket selection loads only the covering manifest shards
         bmap = snap.buckets if buckets is None else snap.buckets_for(buckets)
-        clean, folded = split_fold_entries(bmap, ranges)
-        base = self._read_files(clean)
-        delta = self._read_files(folded, with_seq=True)
-        if delta is not None:
-            delta = self._fold(delta)
-        if base is None and delta is None:
+        df = scoped_fold_read(
+            bmap,
+            ranges,
+            lambda entries, with_seq: self._read_files(entries, with_seq=with_seq),
+            self._fold,
+        )
+        if df is None:
             return self.spark.createDataFrame([], self.schema)
-        if base is None:
-            return delta
-        if delta is None:
-            return base
-        return base.unionByName(delta)
+        return df
 
     def current(
         self,

@@ -652,6 +652,97 @@ def test_fold_scoped_to_delta_buckets(spark, tmp_path, impl):
     assert len(rows) < t.read().count()
 
 
+def test_multi_seq_base_bucket_still_folds(spark, tmp_path, impl):
+    """A blind append() of an existing key after a compact leaves a
+    bucket with NO delta files but base entries from two commit
+    sequences — that bucket must still fold to one winner per key
+    (review finding on the fold-scoping change: a delta-presence-only
+    scope rule served it base-only and returned BOTH versions). Covers
+    both the no-deltas-anywhere case and the delta-in-another-bucket
+    case, which the pre-scoping global fold ALSO got wrong in the
+    former (zero deltas ⇒ no fold at all)."""
+    t = _mk(impl, spark, tmp_path / "t", policy="replace", n_buckets=4)
+
+    def row(conv, text):
+        return spark.createDataFrame(
+            [(conv, 0, "user", text, None, _ts(1))], TRANSCRIPT_SCHEMA
+        )
+
+    t.merge(row("c1", "old"), lambda tgt, src: src)
+    t.refresh()
+    t.compact(min_files=1)
+    t.refresh()
+    assert t.file_stats()["delta_files"] == 0
+    # blind correction lands as a second base commit in c1's bucket
+    t.append(row("c1", "corrected"))
+    t.refresh()
+    assert t.file_stats()["delta_files"] == 0
+    rows = t.current().where(F.col("conv_id") == "c1").collect()
+    assert len(rows) == 1 and rows[0].text == "corrected", rows
+    # now park an unfolded delta in a DIFFERENT bucket: c1's bucket is
+    # delta-free but multi-sequence and must still fold
+    other = next(
+        f"cx{i}" for i in range(100)
+        if _bucket_of(spark, f"cx{i}", 4) != _bucket_of(spark, "c1", 4)
+    )
+    t.merge(row(other, "elsewhere"), lambda tgt, src: src)
+    t.refresh()
+    assert t.file_stats()["delta_files"] > 0
+    got = {r.conv_id: r.text for r in t.current().collect()}
+    assert got == {"c1": "corrected", other: "elsewhere"}, got
+    # and compaction converges to the same state
+    t.compact(min_files=1)
+    t.refresh()
+    got = {r.conv_id: r.text for r in t.current().collect()}
+    assert got == {"c1": "corrected", other: "elsewhere"}, got
+
+
+def test_lww_fold_on_schema_without_lsn(spark, tmp_path, impl):
+    """An "lww" table created on the bare event schema (no ``_lsn`` —
+    the default order includes it, expecting the CDC stored shape) must
+    still fold: order columns missing from the current schema are
+    skipped, not failed (pre-fix every MoR read on such a table raised
+    UNRESOLVED_COLUMN). Later-ts events still win; once evolution adds
+    ``_lsn`` it joins the order."""
+    t = _mk(impl, spark, tmp_path / "t", policy="lww", n_buckets=4)
+
+    def row(text, ts_s):
+        return spark.createDataFrame(
+            [("c1", 0, "user", text, None, _ts(ts_s))], TRANSCRIPT_SCHEMA
+        )
+
+    t.merge(row("first", 10), lambda tgt, src: src)
+    t.refresh()
+    t.merge(row("older-event", 5), lambda tgt, src: src)  # must LOSE (lww)
+    t.refresh()
+    assert t.file_stats()["delta_files"] > 0
+    rows = t.current().collect()
+    assert len(rows) == 1 and rows[0].text == "first", rows
+    # evolution adds _lsn; it now participates as the ts tiebreak
+    evolved = T.StructType(
+        TRANSCRIPT_SCHEMA.fields + [T.StructField("_lsn", T.LongType(), True)]
+    )
+    late = spark.createDataFrame(
+        [("c1", 0, "user", "tiebreak-winner", None, _ts(10), 99)], evolved
+    )
+    t.merge(late, lambda tgt, src: src)
+    t.refresh()
+    rows = t.current().collect()
+    assert len(rows) == 1 and rows[0].text == "tiebreak-winner", rows
+
+
+def _bucket_of(spark, conv_id: str, n_buckets: int) -> int:
+    from etl_framework_spark.lakehouse.table import bucket_expr
+
+    df = spark.createDataFrame(
+        [(conv_id,)],
+        T.StructType([T.StructField("conv_id", T.StringType())]),
+    )
+    return df.select(
+        bucket_expr("conv_id", n_buckets).alias("b")
+    ).collect()[0]["b"]
+
+
 def test_compact_tombstones_uses_ts_ranges(spark, tmp_path):
     t = _mk(LakeTable, spark, tmp_path / "t", policy=None, n_buckets=2)
     apply_changes(
