@@ -678,6 +678,13 @@ class DirTable:
             )
             resolved = resolve(empty, source)
             aligned = align_to_schema(resolved, schema, keep=["_bucket"])
+            if "_bucket" in aligned.columns:
+                # merge the resolver's salt groups before the delta
+                # write — see LakeTable.merge: one O(batch) exchange
+                # caps deltas at one file per bucket per epoch
+                aligned = aligned.repartition("_bucket").sortWithinPartitions(
+                    *self.key_columns
+                )
             adds = self._write_data(aligned, h, schema=schema, kind="delta")
             return self._commit(
                 "append", adds, h, schema,
@@ -765,9 +772,25 @@ class DirTable:
             for b in set(so.live) | set(sn.live)
             if files(so, b) != files(sn, b)
         )
-        from etl_framework_spark.lakehouse.feed import diff_versions
+        from etl_framework_spark.lakehouse.feed import (
+            delta_interval_suffix,
+            diff_versions,
+        )
 
-        return diff_versions(self, v_from, v_to, changed)
+        # same delta-only key-scoped fast path as LakeTable.changes_between
+        added = delta_interval_suffix(
+            {str(b): so.live.get(str(b), []) for b in changed},
+            {str(b): sn.live.get(str(b), []) for b in changed},
+        )
+        delta_rows = (
+            self._read_files(added, sn.schemas, sn.current_schema, with_seq=True)
+            if added
+            else None
+        )
+        return diff_versions(
+            self, v_from, v_to, changed,
+            delta_rows=delta_rows, delta_entries=added,
+        )
 
     def compact(
         self,

@@ -234,22 +234,17 @@ def stats_columns_for(
     return out
 
 
-def fold_deltas(
+def delta_rank(
     df: DataFrame, key_columns: list[str], order_columns: list[str]
 ) -> DataFrame:
-    """Merge-on-read fold: one winner per key across base + delta rows
-    (input must carry ``_seq``, the per-file commit sequence).
-
-    Order: the table's event-time ``order_columns`` (LWW — a later
-    delta commit carrying an OLDER event loses to the base row,
-    matching the copy-on-write resolver exactly), then ``_seq`` (the
-    whole order for ``"replace"`` tables, where deltas are state diffs
-    and the newest commit wins). One shuffle on the key; ``compact``
-    collapses deltas so steady-state reads skip the fold entirely.
-
-    SHARED by every table format — the fold order is the read-time
-    correctness contract, and two drifting copies would let the same
-    deltas fold to different states per format.
+    """Rank base + delta rows per key under THE fold order (input must
+    carry ``_seq``, the per-file commit sequence): the table's
+    event-time ``order_columns`` first (LWW — a later delta commit
+    carrying an OLDER event loses to the base row, matching the
+    copy-on-write resolver exactly), then ``_seq`` (the whole order for
+    ``"replace"`` tables, where deltas are state diffs and the newest
+    commit wins). ``_rn == 1`` is the fold winner. One shuffle on the
+    key.
 
     Order columns missing from the current schema are skipped: a column
     no row ever carried cannot order anything, and the default "lww"
@@ -264,8 +259,22 @@ def fold_deltas(
     ]
     order.append(F.col("_seq").desc())
     w = Window.partitionBy(*key_columns).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w))
+
+
+def fold_deltas(
+    df: DataFrame, key_columns: list[str], order_columns: list[str]
+) -> DataFrame:
+    """Merge-on-read fold: one winner per key across base + delta rows
+    — ``delta_rank``'s top row. ``compact`` collapses deltas so
+    steady-state reads skip the fold entirely.
+
+    SHARED by every table format (as is :func:`delta_rank`, which the
+    change feed's fast path also ranks with) — the fold order is the
+    read-time correctness contract, and two drifting copies would let
+    the same deltas fold to different states per format."""
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        delta_rank(df, key_columns, order_columns)
         .where(F.col("_rn") == 1)
         .drop("_rn", "_seq")
     )
@@ -899,9 +908,24 @@ class LakeTable:
             ob, nb = old_snap.buckets, new_snap.buckets
         changed = [b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)]
         changed_ids = sorted(int(b) for b in changed)
-        from etl_framework_spark.lakehouse.feed import diff_versions
+        from etl_framework_spark.lakehouse.feed import (
+            delta_interval_suffix,
+            diff_versions,
+        )
 
-        return diff_versions(self, v_from, v_to, changed_ids)
+        # Delta-only interval ⇒ key-scoped feed: only keys in the
+        # appended delta files can have changed; the diff folds those
+        # keys' old winners with the delta rows instead of scanning and
+        # windowing two full bucket states.
+        added = delta_interval_suffix(
+            {b: ob.get(b, []) for b in changed},
+            {b: nb.get(b, []) for b in changed},
+        )
+        delta_rows = self._read_files(added, with_seq=True) if added else None
+        return diff_versions(
+            self, v_from, v_to, changed_ids,
+            delta_rows=delta_rows, delta_entries=added,
+        )
 
     def compact_tombstones(self, older_than) -> int:
         """Garbage-collect tombstones whose ``ts`` predates the log's
@@ -1248,6 +1272,18 @@ class LakeTable:
             )
             resolved = resolve(empty, source)
             aligned = align_to_schema(resolved, current, keep=["_bucket"])
+            if "_bucket" in aligned.columns:
+                # Merge the resolver's salt groups before writing: the
+                # salt parallelizes the resolve WINDOW, but written
+                # as-is it multiplies delta files per bucket (files =
+                # salt groups), inflating read-side fold cost and
+                # compaction frequency. One O(batch) exchange of the
+                # already-deduped winners caps deltas at one file per
+                # bucket per epoch, key-sorted so their manifest stats
+                # bound tight.
+                aligned = aligned.repartition("_bucket").sortWithinPartitions(
+                    *self.key_columns
+                )
             new_buckets = self._write_data(aligned, sid, kind="delta")
             return self._commit(
                 BucketDelta("append", new_buckets),

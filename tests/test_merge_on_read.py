@@ -743,6 +743,131 @@ def _bucket_of(spark, conv_id: str, n_buckets: int) -> int:
     ).collect()[0]["b"]
 
 
+def test_delta_interval_suffix_detection():
+    """Unit: the feed's delta-only-interval detector. Additive delta
+    appends ⇒ the appended entries; ANY rewrite (changed prefix,
+    shrunk list, non-delta suffix) ⇒ None (fall back to the full
+    diff)."""
+    from etl_framework_spark.lakehouse.feed import delta_interval_suffix
+
+    b = lambda p, kind=None: (
+        {"path": p, "kind": kind} if kind else {"path": p}
+    )
+    old = {"0": [b("a")], "1": [b("c")]}
+    # pure delta appends
+    new = {"0": [b("a"), b("d1", "delta")], "1": [b("c")]}
+    assert delta_interval_suffix(old, new) == [b("d1", "delta")]
+    # appended entry is a base rewrite product -> None
+    assert delta_interval_suffix(old, {"0": [b("a"), b("x")], "1": [b("c")]}) is None
+    # prefix changed (bucket rewritten) -> None
+    assert delta_interval_suffix(old, {"0": [b("z"), b("d1", "delta")], "1": [b("c")]}) is None
+    # list shrank (compact / delete_where) -> None
+    assert delta_interval_suffix({"0": [b("a"), b("d1", "delta")]}, {"0": [b("a")]}) is None
+    # no change at all -> None (nothing to scope; caller's changed set is empty anyway)
+    assert delta_interval_suffix(old, old) is None
+    # new bucket appearing with only deltas is additive
+    assert delta_interval_suffix({}, {"2": [b("d2", "delta")]}) == [b("d2", "delta")]
+
+
+def test_changes_between_delta_fast_path_matches_full_diff(
+    spark, tmp_path, impl, monkeypatch
+):
+    """A delta-only interval takes the key-scoped fast path, and its
+    feed equals the full-state diff exactly — including an I (new key),
+    a U (newer event), a D (tombstone), and a late event that LOSES to
+    the base (must emit nothing). A compact inside the interval
+    disables the fast path."""
+    import etl_framework_spark.lakehouse.feed as feed
+
+    t = _mk(impl, spark, tmp_path / "t", policy="lww", n_buckets=4)
+    apply_changes(t, gen_changes(spark, 2000, seed=11), stream_id="s", epoch_id=0)
+    t.refresh()
+    t.compact(min_files=1)
+    t.refresh()
+    v_base = t.version
+    base_pdf = t.current().toPandas()
+    exist = base_pdf.sort_values(["conv_id", "turn_idx"]).iloc[0]
+    max_lsn = int(base_pdf["_lsn"].max())
+    rows = [
+        # I: brand-new key
+        ("I", max_lsn + 1, _ts(10**6), "conv-new", 0, "user", "fresh", None),
+        # U: newer event for an existing key
+        ("U", max_lsn + 2, _ts(10**6 + 1), str(exist.conv_id), int(exist.turn_idx), "user", "updated", None),
+        # D: delete another existing key
+        ("D", max_lsn + 3, _ts(10**6 + 2), None, None, None, None, None),
+        # late event for a third key that must LOSE to the base row
+        ("U", -1, _ts(0), None, None, "user", "too-late", None),
+    ]
+    others = base_pdf[base_pdf["conv_id"] != exist.conv_id].drop_duplicates("conv_id")
+    del_key, late_key = others.iloc[0], others.iloc[1]
+    rows[2] = ("D", max_lsn + 3, _ts(10**6 + 2), str(del_key.conv_id), int(del_key.turn_idx), None, None, None)
+    rows[3] = ("U", -1, _ts(0), str(late_key.conv_id), int(late_key.turn_idx), "user", "too-late", None)
+    apply_changes(t, _ch(spark, rows), stream_id="s", epoch_id=1)
+    t.refresh()
+    assert t.file_stats()["delta_files"] > 0
+    v_head = t.version
+
+    taken = {}
+    real_suffix = feed.delta_interval_suffix
+
+    def spy(old_map, new_map):
+        taken["added"] = real_suffix(old_map, new_map)
+        return taken["added"]
+
+    monkeypatch.setattr(feed, "delta_interval_suffix", spy)
+    fast = t.changes_between(v_base, v_head)
+    assert taken["added"], "delta-only interval must take the fast path"
+    cols = sorted(fast.columns)
+    full = lambda df: sorted(tuple(r[c] for c in cols) for r in df.collect())
+    fast_full = full(fast)
+    fast_rows = {
+        (r["conv_id"], r["turn_idx"]): (r["_change_type"], r["text"])
+        for r in fast.collect()
+    }
+    # force the full-state diff as the reference; EVERY column must
+    # match (D rows: key only, NULL payload)
+    monkeypatch.setattr(feed, "delta_interval_suffix", lambda o, n: None)
+    slow = t.changes_between(v_base, v_head)
+    assert sorted(slow.columns) == cols
+    assert fast_full == full(slow)
+    assert fast_rows[("conv-new", 0)] == ("I", "fresh")
+    assert fast_rows[(str(exist.conv_id), int(exist.turn_idx))] == ("U", "updated")
+    assert fast_rows[(str(del_key.conv_id), int(del_key.turn_idx))][0] == "D"
+    assert (str(late_key.conv_id), int(late_key.turn_idx)) not in fast_rows
+
+    # an interval containing a compact falls back to the full diff
+    monkeypatch.setattr(feed, "delta_interval_suffix", spy)
+    t.compact(min_files=1)
+    t.refresh()
+    t.changes_between(v_base, t.version).count()
+    assert taken["added"] is None
+
+
+def test_changes_between_spans_schema_evolution(spark, tmp_path, impl):
+    """``changes_between(0, head)`` on a table created with the bare
+    event schema (no ``_lsn``) whose interval contains the evolution:
+    the old side's rows predate ``_lsn`` (DirTable serves each version
+    under ITS schema), and the diff must align it to the newer shape
+    instead of failing the ``_old_lsn`` projection (pre-fix: DirTable
+    crashed with UNRESOLVED_COLUMN on any from-creation feed after a
+    rewrite). Exercises the SLOW path (the compact makes the interval
+    non-delta-only)."""
+    t = _mk(impl, spark, tmp_path / "t", policy="lww", n_buckets=4)
+    apply_changes(t, gen_changes(spark, 500, seed=3), stream_id="s", epoch_id=0)
+    t.refresh()
+    t.compact(min_files=1)
+    t.refresh()
+    feed_df = t.changes_between(0, t.version)
+    live = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t.current().collect()
+    }
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["_change_type"], r["text"])
+        for r in feed_df.collect()
+    }
+    assert got == {k: ("I", v) for k, v in live.items()}
+
+
 def test_compact_tombstones_uses_ts_ranges(spark, tmp_path):
     t = _mk(LakeTable, spark, tmp_path / "t", policy=None, n_buckets=2)
     apply_changes(
