@@ -70,6 +70,7 @@ from etl_framework_spark.lakehouse.table import (
     bucket_expr,
     collect_file_ranges,
     fold_deltas,
+    merge_salt_groups,
     merge_schemas,
     scoped_fold_read,
     stats_columns_for,
@@ -677,14 +678,10 @@ class DirTable:
                 self.spark.createDataFrame([], schema), schema
             )
             resolved = resolve(empty, source)
-            aligned = align_to_schema(resolved, schema, keep=["_bucket"])
-            if "_bucket" in aligned.columns:
-                # merge the resolver's salt groups before the delta
-                # write — see LakeTable.merge: one O(batch) exchange
-                # caps deltas at one file per bucket per epoch
-                aligned = aligned.repartition("_bucket").sortWithinPartitions(
-                    *self.key_columns
-                )
+            aligned = merge_salt_groups(
+                align_to_schema(resolved, schema, keep=["_bucket"]),
+                self.key_columns,
+            )
             adds = self._write_data(aligned, h, schema=schema, kind="delta")
             return self._commit(
                 "append", adds, h, schema,
@@ -773,19 +770,17 @@ class DirTable:
             if files(so, b) != files(sn, b)
         )
         from etl_framework_spark.lakehouse.feed import (
-            delta_interval_suffix,
+            delta_fast_path,
             diff_versions,
         )
 
         # same delta-only key-scoped fast path as LakeTable.changes_between
-        added = delta_interval_suffix(
+        delta_rows, added = delta_fast_path(
             {str(b): so.live.get(str(b), []) for b in changed},
             {str(b): sn.live.get(str(b), []) for b in changed},
-        )
-        delta_rows = (
-            self._read_files(added, sn.schemas, sn.current_schema, with_seq=True)
-            if added
-            else None
+            lambda entries: self._read_files(
+                entries, sn.schemas, sn.current_schema, with_seq=True
+            ),
         )
         return diff_versions(
             self, v_from, v_to, changed,

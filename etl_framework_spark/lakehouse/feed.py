@@ -50,10 +50,17 @@ def delta_interval_suffix(
     return added if added else None
 
 
-def _drop_deleted(df: DataFrame) -> DataFrame:
-    if "_deleted" in df.columns:
-        return df.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
-    return df
+def delta_fast_path(old_map: dict, new_map: dict, read_files):
+    """Shared fast-path plumbing for both formats' ``changes_between``:
+    detect a purely-additive delta interval and read its appended rows
+    with ``_seq``. Returns ``(delta_rows, entries)`` or ``(None,
+    None)``. ``read_files(entries)`` is the format's own reader — one
+    shared detector input shape so the fast path cannot silently
+    enable/disable for one format only."""
+    added = delta_interval_suffix(old_map, new_map)
+    if not added:
+        return None, None
+    return read_files(added), added
 
 
 #: delta intervals larger than this skip the driver-side key extraction
@@ -166,10 +173,19 @@ def diff_versions(
             else None
         )
         if keys_pdf is not None and len(keys_pdf):
-            scope = table.spark.createDataFrame(
-                keys_pdf, schema=delta_rows.select(*keys).schema
-            )
-            old_all = old_all.join(F.broadcast(scope), on=keys, how="left_semi")
+            try:
+                scope = table.spark.createDataFrame(
+                    keys_pdf, schema=delta_rows.select(*keys).schema
+                )
+                old_all = old_all.join(
+                    F.broadcast(scope), on=keys, how="left_semi"
+                )
+            except Exception:
+                # pandas->Spark conversion or broadcast build can fail
+                # on adversarial key data (nulls, overflow) — the diff
+                # below is correct without the semi-join, it just
+                # shuffles the old bucket state instead of O(delta)
+                pass
         target = delta_rows.drop("_seq").schema
         base = align_to_schema(old_all, target).withColumn("_seq", F.lit(0))
         ranked = delta_rank(
@@ -187,10 +203,16 @@ def diff_versions(
             == 1
         )
         old_lsn = F.max(F.when(is_base & alive, F.col("_lsn"))).over(wp)
+        # U is null-SAFE: a live old row violating the non-null-_lsn
+        # contract (blind bootstrap append) must still surface its
+        # update instead of vanishing on a NULL comparison
         ctype = (
             F.when(alive & ~old_live, F.lit("I"))
             .when(~alive & old_live, F.lit("D"))
-            .when(alive & old_live & (F.col("_lsn") != old_lsn), F.lit("U"))
+            .when(
+                alive & old_live & ~F.col("_lsn").eqNullSafe(old_lsn),
+                F.lit("U"),
+            )
         )
         out_cols = [f.name for f in target.fields if f.name != "_deleted"]
         # D rows carry only the key, like the slow path (whose new side
@@ -221,15 +243,29 @@ def diff_versions(
     old = align_to_schema(
         table.current(buckets=changed_buckets, version=v_from), new.schema
     )
-    o = old.select(*keys, F.col("_lsn").alias("_old_lsn")).alias("o")
-    n = new.alias("n")
+    # side presence is tested on explicit flags, not on ``_lsn``
+    # nullness: live rows violating the non-null-_lsn contract (blind
+    # bootstrap appends) must classify by EXISTENCE — otherwise an
+    # update of such a row reported "I" and a delete reported a bogus
+    # payload-less "I" instead of "D". U is null-safe for the same
+    # reason. (The fast path above classifies identically.)
+    o = old.select(
+        *keys,
+        F.col("_lsn").alias("_old_lsn"),
+        F.lit(True).alias("_old_present"),
+    ).alias("o")
+    n = new.withColumn("_new_present", F.lit(True)).alias("n")
     joined = n.join(o, on=keys, how="full_outer")
     ctype = (
-        F.when(F.col("o._old_lsn").isNull(), F.lit("I"))
-        .when(F.col("n._lsn").isNull(), F.lit("D"))
-        .when(F.col("n._lsn") != F.col("o._old_lsn"), F.lit("U"))
+        F.when(F.col("o._old_present").isNull(), F.lit("I"))
+        .when(F.col("n._new_present").isNull(), F.lit("D"))
+        .when(
+            ~F.col("n._lsn").eqNullSafe(F.col("o._old_lsn")), F.lit("U")
+        )
     )
-    out_cols = [c for c in new.columns if c != "_deleted"]
+    out_cols = [
+        c for c in new.columns if c not in ("_deleted", "_new_present")
+    ]
     return (
         joined.withColumn("_change_type", ctype)
         .where(F.col("_change_type").isNotNull())

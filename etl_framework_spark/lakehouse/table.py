@@ -234,6 +234,20 @@ def stats_columns_for(
     return out
 
 
+def merge_salt_groups(df: DataFrame, key_columns: list[str]) -> DataFrame:
+    """Merge a resolver's salt groups before a merge-on-read delta
+    write: the salt parallelizes the resolve WINDOW, but written as-is
+    it multiplies delta files per bucket (files = salt groups),
+    inflating read-side fold cost and compaction frequency. One
+    O(batch) exchange of the already-deduped winners caps deltas at one
+    file per bucket per epoch, key-sorted so their manifest stats bound
+    tight. SHARED by both formats (same rationale as ``fold_deltas``):
+    the delta layout is part of the read-cost contract."""
+    if "_bucket" not in df.columns:
+        return df
+    return df.repartition("_bucket").sortWithinPartitions(*key_columns)
+
+
 def delta_rank(
     df: DataFrame, key_columns: list[str], order_columns: list[str]
 ) -> DataFrame:
@@ -909,7 +923,7 @@ class LakeTable:
         changed = [b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)]
         changed_ids = sorted(int(b) for b in changed)
         from etl_framework_spark.lakehouse.feed import (
-            delta_interval_suffix,
+            delta_fast_path,
             diff_versions,
         )
 
@@ -917,11 +931,11 @@ class LakeTable:
         # appended delta files can have changed; the diff folds those
         # keys' old winners with the delta rows instead of scanning and
         # windowing two full bucket states.
-        added = delta_interval_suffix(
+        delta_rows, added = delta_fast_path(
             {b: ob.get(b, []) for b in changed},
             {b: nb.get(b, []) for b in changed},
+            lambda entries: self._read_files(entries, with_seq=True),
         )
-        delta_rows = self._read_files(added, with_seq=True) if added else None
         return diff_versions(
             self, v_from, v_to, changed_ids,
             delta_rows=delta_rows, delta_entries=added,
@@ -1271,19 +1285,10 @@ class LakeTable:
                 self.spark.createDataFrame([], current), current
             )
             resolved = resolve(empty, source)
-            aligned = align_to_schema(resolved, current, keep=["_bucket"])
-            if "_bucket" in aligned.columns:
-                # Merge the resolver's salt groups before writing: the
-                # salt parallelizes the resolve WINDOW, but written
-                # as-is it multiplies delta files per bucket (files =
-                # salt groups), inflating read-side fold cost and
-                # compaction frequency. One O(batch) exchange of the
-                # already-deduped winners caps deltas at one file per
-                # bucket per epoch, key-sorted so their manifest stats
-                # bound tight.
-                aligned = aligned.repartition("_bucket").sortWithinPartitions(
-                    *self.key_columns
-                )
+            aligned = merge_salt_groups(
+                align_to_schema(resolved, current, keep=["_bucket"]),
+                self.key_columns,
+            )
             new_buckets = self._write_data(aligned, sid, kind="delta")
             return self._commit(
                 BucketDelta("append", new_buckets),

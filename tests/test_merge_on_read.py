@@ -843,6 +843,51 @@ def test_changes_between_delta_fast_path_matches_full_diff(
     assert taken["added"] is None
 
 
+def test_changes_between_classifies_null_lsn_bootstrap_rows(
+    spark, tmp_path, impl, monkeypatch
+):
+    """Rows blind-appended at bootstrap violate the non-null-``_lsn``
+    contract (their ``_lsn`` is NULL); a later delta update of such a
+    row must surface as U and a delete as D — by EXISTENCE, not by
+    ``_lsn`` nullness — on BOTH feed paths (pre-fix: the fast path
+    dropped the update on a NULL comparison and the slow path reported
+    "I"/a bogus payload-less "I")."""
+    import etl_framework_spark.lakehouse.feed as feed
+
+    t = _mk(impl, spark, tmp_path / "t", policy="lww", n_buckets=4)
+    boot = spark.createDataFrame(
+        [
+            ("cA", 0, "user", "a0", None, _ts(10)),
+            ("cB", 0, "user", "b0", None, _ts(10)),
+            ("cC", 0, "user", "c0", None, _ts(10)),
+        ],
+        TRANSCRIPT_SCHEMA,
+    )
+    t.append(boot)
+    t.refresh()
+    v0 = t.version
+    rows = [
+        ("U", 100, _ts(50), "cA", 0, "user", "a1", None),
+        ("D", 101, _ts(51), "cB", 0, None, None, None),
+    ]
+    apply_changes(t, _ch(spark, rows), stream_id="s", epoch_id=0)
+    t.refresh()
+    assert t.file_stats()["delta_files"] > 0
+
+    def classify(df):
+        return {
+            (r["conv_id"], r["turn_idx"]): (r["_change_type"], r["text"])
+            for r in df.collect()
+        }
+
+    fast = classify(t.changes_between(v0, t.version))
+    monkeypatch.setattr(feed, "delta_interval_suffix", lambda o, n: None)
+    slow = classify(t.changes_between(v0, t.version))
+    expected = {("cA", 0): ("U", "a1"), ("cB", 0): ("D", None)}
+    assert fast == expected, fast
+    assert slow == expected, slow
+
+
 def test_changes_between_spans_schema_evolution(spark, tmp_path, impl):
     """``changes_between(0, head)`` on a table created with the bare
     event schema (no ``_lsn``) whose interval contains the evolution:
