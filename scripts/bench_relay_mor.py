@@ -57,10 +57,14 @@ def _data_bytes(path: str) -> int:
     return total
 
 
-def one_rung(spark, stored, seed_events: int, delta_events: int) -> dict:
+def one_rung(
+    spark, stored, seed_events: int, delta_events: int,
+    src_policy: str | None = None,
+) -> dict:
     tmp = tempfile.mkdtemp(prefix="bench_relay_mor_")
     src = LakeTable.create(spark, f"{tmp}/src", schema=stored,
-                           key_columns=KEY_COLUMNS, n_buckets=64)
+                           key_columns=KEY_COLUMNS, n_buckets=64,
+                           merge_policy=src_policy)
     replicas = {
         "cow": LakeTable.create(spark, f"{tmp}/cow", schema=stored,
                                 key_columns=KEY_COLUMNS, n_buckets=N_BUCKETS),
@@ -82,9 +86,16 @@ def one_rung(spark, stored, seed_events: int, delta_events: int) -> dict:
     delta = delta.withColumn(
         "ts", F.timestamp_seconds(F.unix_timestamp("ts") + F.lit(seed_events))
     )
+    t0 = time.perf_counter()
     apply_changes(src, delta, stream_id="s", epoch_id=1)
+    src_apply_s = time.perf_counter() - t0
 
-    out: dict = {"seed_events": seed_events, "src_rows": src_rows}
+    out: dict = {
+        "seed_events": seed_events,
+        "src_rows": src_rows,
+        "src_policy": src_policy or "cow",
+        "src_delta_apply_s": round(src_apply_s, 2),
+    }
     for name, t in replicas.items():
         before = _data_bytes(t.path)
         t0 = time.perf_counter()
@@ -126,10 +137,24 @@ def main() -> None:
             file=sys.stderr,
         )
         rungs.append(r)
+    # the full O(delta) pipeline: MoR source (O(batch) delta ingest) ->
+    # key-scoped feed (delta-only interval -> single-pass diff) ->
+    # replicas. Same biggest seed, so the sync walls are comparable to
+    # the CoW-source rung above, whose rewrite interval forces the
+    # feed's full-state diff.
+    e2e = one_rung(spark, stored, seeds[-1], delta_events, src_policy="lww")
+    print(
+        f"[relay-mor] mor-source seed {seeds[-1]:,}: src apply "
+        f"{e2e['src_delta_apply_s']}s, cow sync {e2e['cow_delta_sync_s']}s, "
+        f"mor sync {e2e['mor_delta_sync_s']}s/"
+        f"{e2e['mor_bytes_written']:,}B",
+        file=sys.stderr,
+    )
     out = {
         "n_buckets": N_BUCKETS,
         "delta_events": delta_events,
         "rungs": rungs,
+        "mor_source_rung": e2e,
         # the decoupling claim in two numbers: growing the table grows
         # CoW's per-sync write bytes ~proportionally; MoR's stay flat
         "cow_bytes_growth": round(
